@@ -1,0 +1,136 @@
+"""Time-stepping schemes: IMR (default), IMR4, IMR8, explicit Euler.
+
+The implicit midpoint rule (user_guide.md:308-335):
+    x_{n+1} = x_n + dt * k,   (I - dt/2 M^{n+1/2}) k = M^{n+1/2} x_n
+
+The linear solve uses a fixed-iteration Neumann series
+    k <- b + (dt/2) M k,  b = M x_n
+(timestepper.cpp:697-727) — branch-free, batched, and exactly what a TPU
+wants. With ||dt/2 M|| ~ pi/Pmin << 1 at the recommended resolution, a dozen
+iterations reach machine precision. A GMRES option exists for parity checks.
+
+The compositional schemes IMR4 (3 stages, Yoshida) and IMR8 (15 stages)
+perform IMR sub-steps with scaled step sizes gamma_i*dt
+(timestepper.cpp:731-802). All stage midpoint TIMES are known statically, so
+control coefficients for every stage of every step are precomputed as one
+(nsteps, nstages, K) tensor before the `lax.scan` — there is no per-step
+control evaluation on the device.
+
+Gradients: the whole propagation is differentiated with JAX AD; each step is
+wrapped in `jax.checkpoint` so the backward pass recomputes the Neumann
+iterates instead of storing them. This reproduces the reference's discrete
+adjoint (timestepper.cpp:631-694) exactly — AD through the converged Neumann
+recursion IS the transposed-solve adjoint, with the same storage profile as
+storeFWD (one state per step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Compositional coefficients (timestepper.cpp:736-757)
+GAMMA_IMR4 = np.array([
+    1.0 / (2.0 - 2.0 ** (1.0 / 3.0)),
+    -(2.0 ** (1.0 / 3.0)) / (2.0 - 2.0 ** (1.0 / 3.0)),
+    1.0 / (2.0 - 2.0 ** (1.0 / 3.0)),
+])
+GAMMA_IMR8 = np.array([
+    0.74167036435061295344822780,
+    -0.40910082580003159399730010,
+    0.19075471029623837995387626,
+    -0.57386247111608226665638773,
+    0.29906418130365592384446354,
+    0.33462491824529818378495798,
+    0.31529309239676659663205666,
+    -0.79688793935291635401978884,
+    0.31529309239676659663205666,
+    0.33462491824529818378495798,
+    0.29906418130365592384446354,
+    -0.57386247111608226665638773,
+    0.19075471029623837995387626,
+    -0.40910082580003159399730010,
+    0.74167036435061295344822780,
+])
+
+
+def stage_gammas(timestepper: str) -> np.ndarray:
+    t = timestepper.upper()
+    if t == "IMR":
+        return np.array([1.0])
+    if t == "IMR4":
+        return GAMMA_IMR4
+    if t == "IMR8":
+        return GAMMA_IMR8
+    if t == "EE":
+        return np.array([1.0])
+    raise ValueError(f"unknown timestepper {timestepper}")
+
+
+def stage_midpoint_times(ntime: int, dt: float, timestepper: str) -> np.ndarray:
+    """(ntime, nstages) array of the times at which the RHS is evaluated.
+
+    IMR evaluates at sub-interval midpoints t_cur + gamma_i*dt/2 where t_cur
+    accumulates the previous stages' gamma*dt (timestepper.cpp:784-800).
+    Explicit Euler evaluates at the interval start.
+    """
+    g = stage_gammas(timestepper)
+    starts = np.concatenate([[0.0], np.cumsum(g)[:-1]])
+    if timestepper.upper() == "EE":
+        offs = starts * dt
+    else:
+        offs = (starts + g / 2.0) * dt
+    t0 = np.arange(ntime)[:, None] * dt
+    return t0 + offs[None, :]
+
+
+def neumann_solve(matvec: Callable, b, half_dt, iters: int):
+    """Solve (I - half_dt*M) k = b by the fixed-iteration Neumann recursion
+    k <- b + half_dt * M k (timestepper.cpp:697-727, without the early-exit
+    tolerance branch, which XLA cannot use anyway)."""
+    k = b
+    for _ in range(iters):
+        k = b + half_dt * matvec(k)
+    return k
+
+
+def gmres_solve(matvec: Callable, b, half_dt, iters: int):
+    """GMRES alternative for the stage solve (parity with
+    linearsolver_type=gmres). Flattens the batch into one Krylov problem."""
+    import jax.scipy.sparse.linalg as jsp
+
+    op = lambda y: y - half_dt * matvec(y)
+    k, _ = jsp.gmres(op, b, x0=b, tol=1e-12, atol=1e-12, maxiter=iters,
+                     solve_method="batched")
+    return k
+
+
+def make_step_fn(rhs: Callable, dt: float, timestepper: str = "IMR",
+                 linsolve_iters: int = 10, linsolver: str = "neumann"):
+    """Build the one-step update x_n -> x_{n+1}.
+
+    rhs(c, x): applies M(t) given the coefficient row c.
+    Returns step(x, c_stages) with c_stages of shape (nstages, K).
+    """
+    gammas = stage_gammas(timestepper)
+    explicit = timestepper.upper() == "EE"
+    solver = neumann_solve if linsolver == "neumann" else gmres_solve
+
+    def step(x, c_stages):
+        for i, g in enumerate(gammas):
+            h = g * dt
+            c = c_stages[i]
+            if explicit:
+                x = x + h * rhs(c, x)
+            else:
+                mv = lambda y, c=c: rhs(c, y)
+                b = mv(x)
+                k = solver(mv, b, h / 2.0, linsolve_iters)
+                x = x + h * k
+        return x
+
+    return step

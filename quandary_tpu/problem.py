@@ -1,0 +1,381 @@
+"""Problem assembly: from a resolved setup to differentiable objective /
+simulation functions.
+
+This module is the TPU-native counterpart of the reference call stack
+main.cpp -> OptimProblem::evalF/evalGradF -> TimeStepper::solveODE ->
+MasterEq::assemble_RHS (SURVEY.md section 3.1). The entire multi-initial-
+condition objective — forward propagation of the whole batch, final-time cost,
+fidelity, all four penalty integrals and both regularizers — is ONE pure
+function of the control parameter vector. `jax.value_and_grad` of it is the
+discrete adjoint (including the Schroedinger two-phase coupling through
+|sum_i overlap_i|^2 that the reference handles with a second adjoint loop,
+optimproblem.cpp:494-519 — here it falls out of AD automatically).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.controls import (
+    control_variation_penalty,
+    eval_controls,
+    eval_controls_labframe,
+)
+from .models.hamiltonian import HamiltonianModel
+from .models import initialconditions as ic
+from .ops.rhs import DenseEngine
+from .ops.steppers import make_step_fn, stage_midpoint_times
+from .ops import solvers
+from .utils.indexing import guard_mask
+from .utils.splines import ControlEvalPlan, OscillatorControl, build_control_plan
+
+
+@dataclasses.dataclass
+class Setup:
+    """Fully-resolved problem specification in internal units (rad/ns, ns)."""
+    model: HamiltonianModel
+    nessential: Tuple[int, ...]
+    ntime: int
+    dt: float
+    timestepper: str = "IMR"
+    linsolve_iters: int = 20
+    linsolver: str = "neumann"
+
+    oscillators: Tuple[OscillatorControl, ...] = ()
+    pipulses: Optional[tuple] = None           # per-osc list of (t0, t1, amp)
+    ground_freqs_radns: Tuple[float, ...] = ()
+
+    initcond_type: str = "basis"
+    initcond_ids: Tuple[int, ...] = ()
+    pure_levels: Optional[Tuple[int, ...]] = None
+    initial_state_ess: Optional[np.ndarray] = None   # for initcond 'file'
+
+    target_type: str = "none"                  # 'gate' | 'pure' | 'file' | 'none'
+    target_gate_full: Optional[np.ndarray] = None    # assembled full-dim V
+    target_state_full: Optional[np.ndarray] = None   # full-dim target (file)
+    pure_target_levels: Optional[Tuple[int, ...]] = None
+
+    objective_type: str = "Jtrace"
+    obj_weights: Optional[np.ndarray] = None   # un-normalized; filled/normalized here
+
+    gamma_tik: float = 1e-4
+    gamma_tik_interpolate: bool = False
+    gamma_penalty: float = 0.0                 # leakage / weighted-J
+    penalty_param: float = 0.0                 # 'a' of the weighted-J window
+    gamma_penalty_dpdm: float = 0.0
+    gamma_penalty_energy: float = 0.0
+    gamma_penalty_variation: float = 0.0
+
+    dtype: object = jnp.complex128
+
+    @property
+    def total_time(self) -> float:
+        return self.ntime * self.dt
+
+    @property
+    def nparams(self) -> int:
+        return sum(o.nparams for o in self.oscillators)
+
+
+class Problem:
+    """Device-ready problem: precomputed plans, state batches and closures."""
+
+    def __init__(self, setup: Setup):
+        self.setup = setup
+        model = setup.model
+        self.model = model
+        self.lindblad = model.lindblad
+        self.dims = model.dims
+        self.N = model.N
+        s = setup
+
+        self.rdtype = jnp.float64 if s.dtype == jnp.complex128 else jnp.float32
+
+        # --- engine ---
+        self.engine = DenseEngine(model, dtype=s.dtype)
+
+        # --- time grids and control plans ---
+        ntime, dt = s.ntime, s.dt
+        self.ts_mid = stage_midpoint_times(ntime, dt, s.timestepper)  # (ntime, nstages)
+        self.nstages = self.ts_mid.shape[1]
+        self.plan_mid = build_control_plan(s.oscillators, self.ts_mid.reshape(-1))
+        self.ts_stop = (np.arange(1, ntime + 1)) * dt
+        self.plan_stop = build_control_plan(s.oscillators, self.ts_stop)
+        self.ts_out = np.arange(ntime + 1) * dt
+        self.plan_out = build_control_plan(s.oscillators, self.ts_out)
+
+        # --- initial conditions ---
+        osc_ids = s.initcond_ids if len(s.initcond_ids) > 0 else tuple(range(model.n_osc))
+        x0_np, initids = ic.build_initial_states(
+            s.initcond_type, model.dims, s.nessential, osc_ids, self.lindblad,
+            pure_levels=s.pure_levels, from_file_state=s.initial_state_ess,
+        )
+        self.initids = initids
+        self.ninit = x0_np.shape[0]
+        self.x0 = jnp.asarray(x0_np, dtype=s.dtype)
+
+        # --- objective weights (optimproblem.cpp:71-91) ---
+        w = np.asarray(s.obj_weights if s.obj_weights is not None else [1.0], dtype=float)
+        if w.size < self.ninit:
+            w = np.concatenate([w, np.full(self.ninit - w.size, w[-1])])
+        w = w[: self.ninit]
+        w = w / w.sum()
+        self.weights = jnp.asarray(w, dtype=self.rdtype)
+
+        # --- targets ---
+        self.pure_target_id = None
+        self.target = None          # (B, ...) target batch for gate/file targets
+        if s.target_type == "gate" and s.target_gate_full is not None:
+            V = np.asarray(s.target_gate_full, dtype=np.complex128)
+            if self.lindblad:
+                tgt = np.einsum("ij,bjk,lk->bil", V, x0_np, V.conj())
+            else:
+                tgt = np.einsum("ij,bj->bi", V, x0_np)
+            self.target = jnp.asarray(tgt, dtype=s.dtype)
+        elif s.target_type == "file" and s.target_state_full is not None:
+            t1 = np.asarray(s.target_state_full, dtype=np.complex128)
+            tgt = np.broadcast_to(t1, (self.ninit,) + t1.shape)
+            self.target = jnp.asarray(tgt, dtype=s.dtype)
+        elif s.target_type == "pure":
+            levels = s.pure_target_levels or tuple([0] * model.n_osc)
+            from .utils.indexing import flat_index
+            self.pure_target_id = flat_index(levels, model.dims)
+
+        # purity Tr(rho0^2) per initial condition (optimtarget.cpp:701-708)
+        flat0 = x0_np.reshape(self.ninit, -1)
+        self.purity = jnp.asarray(
+            np.maximum(np.sum(np.abs(flat0) ** 2, axis=1), 1e-300), dtype=self.rdtype)
+
+        # --- penalty precomputations ---
+        gmask = guard_mask(model.dims, s.nessential)
+        self.has_guard = bool(gmask.any())
+        self.guard_mask = jnp.asarray(gmask)
+        if s.penalty_param > 1e-13:
+            a = s.penalty_param
+            T = s.total_time
+            self.jt_weight = jnp.asarray(
+                (1.0 / a) * np.exp(-(((self.ts_stop - T) / a) ** 2)), dtype=self.rdtype)
+        else:
+            self.jt_weight = None
+        if self.pure_target_id is not None:
+            self.measure_weights = jnp.asarray(
+                np.abs(np.arange(self.N) - self.pure_target_id), dtype=self.rdtype)
+        else:
+            self.measure_weights = None
+
+        self.step_fn = make_step_fn(self.engine.rhs, dt, s.timestepper,
+                                    s.linsolve_iters, s.linsolver)
+
+    # ------------------------------------------------------------------
+    # state functionals
+    # ------------------------------------------------------------------
+
+    def _diag(self, x):
+        """Complex diagonal entries: psi components or rho_ii. (B, N)."""
+        if self.lindblad:
+            return jnp.diagonal(x, axis1=-2, axis2=-1)
+        return x
+
+    def overlaps(self, x):
+        """Hilbert-Schmidt overlap <target_b, x_b> per batch element
+        (optimtarget.cpp:343-408). Complex (B,)."""
+        if self.target is not None:
+            tgt = self.target
+            axes = tuple(range(1, x.ndim))
+            return jnp.sum(tgt.conj() * x, axis=axes)
+        if self.pure_target_id is not None:
+            d = self._diag(x)
+            return d[:, self.pure_target_id]
+        return jnp.zeros((x.shape[0],), dtype=x.dtype)
+
+    def eval_J_parts(self, x):
+        """Per-initial-condition raw objective values (J_re, J_im), (B,).
+
+        JTRACE: purity-scaled HS overlap (Re scaled only, optimtarget.cpp:400-403).
+        JFROBENIUS / JMEASURE: real scalars.
+        """
+        obj = self.setup.objective_type
+        if obj == "Jtrace":
+            ov = self.overlaps(x)
+            return jnp.real(ov) / self.purity, jnp.imag(ov)
+        if obj == "Jfrobenius":
+            if self.target is not None:
+                diff = x - self.target
+                J = 0.5 * jnp.sum(jnp.abs(diff) ** 2, axis=tuple(range(1, x.ndim)))
+            else:
+                # pure target e_m (e_m e_m^dag): 1/2 || x - E_m ||^2
+                d = self._diag(x)
+                m = self.pure_target_id
+                norm2 = jnp.sum(jnp.abs(x) ** 2, axis=tuple(range(1, x.ndim)))
+                J = 0.5 * (norm2 - 2.0 * jnp.real(d[:, m]) + 1.0)
+            return J, jnp.zeros_like(J)
+        if obj == "Jmeasure":
+            pop = solvers.population_full(x, self.lindblad) if self.lindblad \
+                else jnp.abs(x) ** 2
+            J = pop @ self.measure_weights.astype(pop.dtype)
+            return J, jnp.zeros_like(J)
+        raise ValueError(obj)
+
+    def finalize_J(self, J_re, J_im):
+        """Scalar objective from (already weighted/summed) J parts
+        (optimtarget.cpp:864-879)."""
+        if self.setup.objective_type == "Jtrace":
+            if self.lindblad:
+                return 1.0 - J_re
+            return 1.0 - (J_re ** 2 + J_im ** 2)
+        return J_re
+
+    def eval_J_per_state(self, x):
+        """Per-state finalized J (used by the weighted-J penalty integral,
+        timestepper.cpp:256-270, which applies finalizeJ per state)."""
+        J_re, J_im = self.eval_J_parts(x)
+        if self.setup.objective_type == "Jtrace":
+            if self.lindblad:
+                return 1.0 - J_re
+            return 1.0 - (J_re ** 2 + J_im ** 2)
+        return J_re
+
+    # ------------------------------------------------------------------
+    # coefficient rows from parameters
+    # ------------------------------------------------------------------
+
+    def coeff_rows_mid(self, params):
+        p, q = eval_controls(self.plan_mid, params, self.setup.pipulses)
+        C = self.model.coeff_rows(p, q, self.plan_mid.ts)
+        return C.reshape(self.setup.ntime, self.nstages, self.model.K)
+
+    # ------------------------------------------------------------------
+    # objective
+    # ------------------------------------------------------------------
+
+    def objective(self, params, params_ref):
+        """Full objective. Returns (J_total, aux) with every term and the
+        fidelity, matching optimproblem.cpp:224-338 semantics."""
+        s = self.setup
+        C = self.coeff_rows_mid(params)
+
+        # energy penalty: controls at the step stop times (timestepper.cpp:444-455)
+        use_energy = s.gamma_penalty_energy > 1e-13
+        if use_energy:
+            p_stop, q_stop = eval_controls(self.plan_stop, params, s.pipulses)
+            energy_int = jnp.sum(p_stop ** 2 + q_stop ** 2) / s.ntime
+        else:
+            energy_int = jnp.zeros((), dtype=self.rdtype)
+
+        use_leak = self.has_guard and s.gamma_penalty > 1e-13
+        use_jt = self.jt_weight is not None and s.gamma_penalty > 1e-13
+        use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
+
+        B = self.ninit
+        post_init = {}
+        extras = {"n": jnp.arange(s.ntime)}
+        if use_leak:
+            post_init["leak"] = jnp.zeros((B,), dtype=self.rdtype)
+        if use_jt:
+            post_init["jt"] = jnp.zeros((B,), dtype=self.rdtype)
+            extras["wt"] = self.jt_weight
+        if use_dpdm:
+            pop0 = jnp.abs(self.x0.reshape(B, -1)) ** 2
+            post_init["dpdm"] = jnp.zeros((B,), dtype=self.rdtype)
+            post_init["prev1"] = pop0
+            post_init["prev2"] = pop0
+
+        def post_fn(aux, x, ex):
+            out = dict(aux)
+            if use_leak:
+                d2 = jnp.abs(self._diag(x)) ** 2            # (B, N)
+                leak = jnp.sum(d2 * self.guard_mask[None, :], axis=1)
+                out["leak"] = aux["leak"] + leak / s.ntime
+            if use_jt:
+                out["jt"] = aux["jt"] + ex["wt"] * self.eval_J_per_state(x) * s.dt
+            if use_dpdm:
+                cur = jnp.abs(x.reshape(B, -1)) ** 2
+                sec = cur - 2.0 * aux["prev1"] + aux["prev2"]
+                contrib = jnp.sum(sec * sec, axis=1) / s.dt ** 4
+                out["dpdm"] = aux["dpdm"] + jnp.where(ex["n"] > 0, contrib, 0.0)
+                out["prev1"] = cur
+                out["prev2"] = aux["prev1"]
+            return out
+
+        if post_init:
+            xT, acc = solvers.propagate(self.step_fn, self.x0, C, extras, post_fn, post_init)
+        else:
+            xT, acc = solvers.propagate(self.step_fn, self.x0, C)
+            acc = {}
+
+        # final-time cost (weighted sum BEFORE finalization, optimproblem.cpp:267-308)
+        J_re_b, J_im_b = self.eval_J_parts(xT)
+        J_re = jnp.sum(self.weights * J_re_b)
+        J_im = jnp.sum(self.weights * J_im_b)
+        obj_cost = self.finalize_J(J_re, J_im)
+
+        # fidelity (1/ninit averaging, unscaled by purity, optimproblem.cpp:274-305)
+        ov = self.overlaps(xT)
+        fid_re = jnp.sum(jnp.real(ov)) / self.ninit
+        fid_im = jnp.sum(jnp.imag(ov)) / self.ninit
+        fidelity = fid_re if self.lindblad else fid_re ** 2 + fid_im ** 2
+
+        # regularizers and penalties
+        dx = params - params_ref if s.gamma_tik_interpolate else params
+        obj_regul = 0.5 * s.gamma_tik * jnp.sum(dx * dx)
+
+        obj_penal = jnp.zeros((), dtype=self.rdtype)
+        if use_leak:
+            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(self.weights * acc["leak"])
+        if use_jt:
+            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(self.weights * acc["jt"])
+        obj_penal_dpdm = (
+            s.gamma_penalty_dpdm * jnp.sum(self.weights * acc["dpdm"]) / s.ntime
+            if use_dpdm else jnp.zeros((), dtype=self.rdtype))
+        obj_penal_energy = s.gamma_penalty_energy * energy_int
+        if s.gamma_penalty_variation > 1e-13:
+            obj_penal_variation = 0.5 * s.gamma_penalty_variation * \
+                control_variation_penalty(self.plan_mid, params)
+        else:
+            obj_penal_variation = jnp.zeros((), dtype=self.rdtype)
+
+        J = (obj_cost + obj_regul + obj_penal + obj_penal_dpdm
+             + obj_penal_energy + obj_penal_variation)
+        aux = {
+            "obj_cost": obj_cost,
+            "obj_regul": obj_regul,
+            "obj_penal": obj_penal,
+            "obj_penal_dpdm": obj_penal_dpdm,
+            "obj_penal_energy": obj_penal_energy,
+            "obj_penal_variation": obj_penal_variation,
+            "fidelity": fidelity,
+        }
+        return J, aux
+
+    # compiled entry points -------------------------------------------------
+
+    def build_value_and_grad(self):
+        return jax.jit(jax.value_and_grad(self.objective, has_aux=True))
+
+    def build_objective(self):
+        return jax.jit(self.objective)
+
+    def propagate_final(self, params):
+        """Forward-only propagation; returns final states (B, ...)."""
+        C = self.coeff_rows_mid(params)
+        xT, _ = solvers.propagate(self.step_fn, self.x0, C, remat=False)
+        return xT
+
+    def propagate_trajectory(self, params):
+        """All states (ntime+1, B, ...) for trajectory output."""
+        C = self.coeff_rows_mid(params)
+        return solvers.propagate_trajectory(self.step_fn, self.x0, C)
+
+    def controls_on_output_grid(self, params):
+        """(ts, p, q, f_lab) on the output time grid t_n = n*dt."""
+        p, q = eval_controls(self.plan_out, params, self.setup.pipulses)
+        f = eval_controls_labframe(self.plan_out, params,
+                                   np.asarray(self.setup.ground_freqs_radns),
+                                   self.setup.pipulses)
+        return self.ts_out, p, q, f

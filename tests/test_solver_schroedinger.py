@@ -1,0 +1,116 @@
+"""Forward-solver correctness: IMR/IMR4/IMR8 against the exact propagator.
+
+For a time-INDEPENDENT Hamiltonian the exact solution is psi(T) =
+expm(-i H T) psi(0); the IMR family must converge to it at the scheme's
+order. This pins the RHS sign/unit conventions independently of the
+reference's golden files.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.linalg import expm
+
+from quandary_tpu.models.hamiltonian import build_standard_model
+from quandary_tpu.ops.rhs import DenseEngine
+from quandary_tpu.ops.steppers import make_step_fn, stage_midpoint_times
+from quandary_tpu.ops import solvers
+from quandary_tpu.utils.splines import ControlSegment, OscillatorControl, build_control_plan
+from quandary_tpu.models.controls import eval_controls
+
+
+def _propagate_const(model, T, ntime, timestepper="IMR", iters=20):
+    engine = DenseEngine(model)
+    dt = T / ntime
+    step = make_step_fn(engine.rhs, dt, timestepper, iters)
+    K = model.K
+    ts = stage_midpoint_times(ntime, dt, timestepper)
+    nst = ts.shape[1]
+    # constant zero controls
+    C = np.zeros((ntime, nst, K))
+    C[:, :, 0] = 1.0
+    x0 = jnp.eye(model.N, dtype=jnp.complex128)  # propagate full unitary
+    xT, _ = solvers.propagate(step, x0, jnp.asarray(C))
+    return np.asarray(xT)
+
+
+def test_imr_matches_expm_drift_only():
+    model = build_standard_model(
+        nlevels=[3, 2], freq01_ghz=[4.1, 5.0], rotfreq_ghz=[4.0, 4.9],
+        selfkerr_ghz=[0.22, 0.1], crosskerr_ghz=[0.01], jkl_ghz=[],
+    )
+    T, ntime = 1.0, 2000
+    U = _propagate_const(model, T, ntime)
+    H = np.asarray(model.stack[0])
+    Uex = expm(-1j * H * T)
+    # psi columns: our batch is rows, x0=I so xT[b] = U @ e_b -> xT.T = U
+    err = np.abs(U.T - Uex).max()
+    assert err < 1e-7, err
+
+
+@pytest.mark.parametrize("stepper,order", [("IMR", 2), ("IMR4", 4), ("IMR8", 6)])
+def test_convergence_order(stepper, order):
+    model = build_standard_model(
+        nlevels=[4], freq01_ghz=[4.1], rotfreq_ghz=[3.0], selfkerr_ghz=[0.3],
+    )
+    T = 1.0
+    H = np.asarray(model.stack[0])
+    Uex = expm(-1j * H * T)
+    steps = {"IMR": (64, 128), "IMR4": (16, 32), "IMR8": (4, 8)}[stepper]
+    errs = []
+    for ntime in steps:
+        U = _propagate_const(model, T, ntime, stepper, iters=40).T
+        errs.append(np.abs(U - Uex).max())
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.7, (errs, rate)
+
+
+def test_time_dependent_control_vs_scipy():
+    """Driven qubit: compare against dense scipy integration of the ODE."""
+    from scipy.integrate import solve_ivp
+
+    model = build_standard_model(
+        nlevels=[2], freq01_ghz=[4.5], rotfreq_ghz=[4.48], selfkerr_ghz=[0.0],
+    )
+    N = model.N
+    T, ntime = 10.0, 4000
+    dt = T / ntime
+
+    # one spline segment, one carrier
+    osc = OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=10, tstart=0.0, tstop=T),),
+        carrier_freqs=(2 * np.pi * 0.02,),
+    )
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(rng.normal(size=osc.nparams) * 0.02)
+
+    ts_mid = stage_midpoint_times(ntime, dt, "IMR")
+    plan = build_control_plan([osc], ts_mid.reshape(-1))
+    p, q = eval_controls(plan, params)
+    C = model.coeff_rows(p, q, plan.ts).reshape(ntime, 1, model.K)
+
+    engine = DenseEngine(model)
+    step = make_step_fn(engine.rhs, dt, "IMR", 20)
+    x0 = jnp.array([[1.0, 0.0]], dtype=jnp.complex128)
+    xT, _ = solvers.propagate(step, x0, C)
+
+    # scipy reference using the same control functions evaluated continuously
+    plan_dense = build_control_plan([osc], np.linspace(0, T, 40001))
+    pd, qd = eval_controls(plan_dense, params)
+    pd, qd = np.asarray(pd)[:, 0], np.asarray(qd)[:, 0]
+    tgrid = np.asarray(plan_dense.ts)
+    stack = np.asarray(model.stack)
+
+    def rhs(t, y):
+        pv = np.interp(t, tgrid, pd)
+        qv = np.interp(t, tgrid, qd)
+        H = stack[0] + pv * stack[1] + qv * stack[2]
+        psi = y[:N] + 1j * y[N:]
+        d = -1j * H @ psi
+        return np.concatenate([d.real, d.imag])
+
+    y0 = np.array([1.0, 0.0, 0.0, 0.0])
+    sol = solve_ivp(rhs, (0, T), y0, rtol=1e-11, atol=1e-12, dense_output=True)
+    psi_ref = sol.y[:N, -1] + 1j * sol.y[N:, -1]
+    err = np.abs(np.asarray(xT)[0] - psi_ref).max()
+    assert err < 1e-5, err
