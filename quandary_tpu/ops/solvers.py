@@ -93,9 +93,10 @@ def expected_energy(pop_full, dims, k: int):
 
 
 def expected_energy_composite(pop_full, dims):
-    """<N> for the composite number operator N = sum_k N_k
-    (mastereq.cpp:2897-2934)."""
-    total = 0.0
-    for k in range(len(dims)):
-        total = total + expected_energy(pop_full, dims, k)
-    return total
+    """Composite expected energy: sum_i i * pop_i with the 'number operator'
+    N_m = diag(0, 1, ..., N-1) over the GLOBAL index — i.e. the flat index
+    itself, not the sum of per-oscillator number operators
+    (mastereq.cpp:2897-2934, num_diag = i)."""
+    N = pop_full.shape[-1]
+    idx = jnp.arange(N, dtype=pop_full.dtype)
+    return jnp.sum(pop_full * idx, axis=-1)

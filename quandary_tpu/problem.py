@@ -97,8 +97,13 @@ class Problem:
 
         self.rdtype = jnp.float64 if s.dtype == jnp.complex128 else jnp.float32
 
-        # --- engine ---
-        self.engine = DenseEngine(model, dtype=s.dtype)
+        # --- engine: dense operator stack (HamiltonianModel) or matrix-free
+        # per-axis contractions (StructuredModel) ---
+        from .ops.tensor_rhs import StructuredModel, TensorEngine
+        if isinstance(model, StructuredModel):
+            self.engine = TensorEngine(model, dtype=s.dtype)
+        else:
+            self.engine = DenseEngine(model, dtype=s.dtype)
 
         # --- time grids and control plans ---
         ntime, dt = s.ntime, s.dt

@@ -1,0 +1,177 @@
+"""Golden-file regression tests against the reference's own committed
+expected outputs (tests/regression/*/base/ in the reference repo).
+
+These run the reference's .cfg files unchanged through our config
+compatibility layer and compare output files with the reference harness's
+tolerances (regression_test.py:14-15: rtol=1e-7, atol=1e-15 — we use a
+slightly looser atol because our linear solver is a converged Neumann series
+rather than GMRES; both are converged to <1e-12 so file-level agreement at
+rtol 1e-6 pins the physics).
+
+Skipped automatically when the reference checkout is not present.
+"""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/tests/regression"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+
+
+def _compare_file(ours: str, golden: str, rtol=1e-6, atol=1e-10):
+    a = np.loadtxt(ours)
+    b = np.loadtxt(golden)
+    assert a.shape == b.shape, f"{ours}: shape {a.shape} vs golden {b.shape}"
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                               err_msg=f"{os.path.basename(ours)}")
+
+
+def _run_case(tmp_path, name, cfgname=None, patterns=("*.dat",),
+              rtol=1e-6, atol=1e-10, skip=()):
+    from quandary_tpu.cli import run
+
+    src = os.path.join(REF, name)
+    cfgname = cfgname or f"{name}.cfg"
+    work = tmp_path / name
+    shutil.copytree(src, work, ignore=shutil.ignore_patterns("base"))
+    res = run(str(work / cfgname), quiet=True)
+    datadir = res["datadir"]
+
+    base = os.path.join(src, "base")
+    compared = 0
+    for pat in patterns:
+        for golden in sorted(glob.glob(os.path.join(base, pat))):
+            fname = os.path.basename(golden)
+            if any(s in fname for s in skip):
+                continue
+            ours = os.path.join(datadir, fname)
+            assert os.path.exists(ours), f"missing output {fname}"
+            _compare_file(ours, golden, rtol, atol)
+            compared += 1
+    assert compared > 0
+
+
+def test_axc_simulation(tmp_path):
+    """Lindblad forward simulation, 3x20 levels, Jmeasure + penalties
+    (tests/regression/AxC). Compares trajectories and the objective row."""
+    _run_case(tmp_path, "AxC", "AxC.cfg",
+              patterns=("expected*.dat", "population*.dat", "rho_*.dat",
+                        "optim_history.dat"))
+
+
+def test_axc_grad_schroedinger(tmp_path):
+    """Schroedinger discrete adjoint vs golden grad.dat."""
+    _run_case(tmp_path, "AxC_grad_schroedinger",
+              patterns=("grad.dat", "rho_*.dat", "optim_history.dat"))
+
+
+def test_axc_grad_init_basis0(tmp_path):
+    """Lindblad discrete adjoint, basis initial conditions spanned in
+    oscillator 0 only, vs golden grad.dat."""
+    _run_case(tmp_path, "AxC_grad_initBasis0",
+              patterns=("grad.dat", "expected*.dat", "optim_history.dat"))
+
+
+def test_axc_init_diag0(tmp_path):
+    _run_case(tmp_path, "AxC_initDiag0",
+              patterns=("rho_*.dat", "population*.dat", "expected*.dat",
+                        "optim_history.dat"))
+
+
+def test_axc_init_ensemble(tmp_path):
+    _run_case(tmp_path, "AxC_initEnsemble",
+              patterns=("rho_*.dat", "population*.dat", "expected*.dat",
+                        "optim_history.dat"))
+
+
+def test_axc_init_file(tmp_path):
+    _run_case(tmp_path, "AxC_initFile",
+              patterns=("rho_*.dat", "population*.dat", "expected*.dat",
+                        "optim_history.dat"))
+
+
+def test_hamiltonian_reader(tmp_path):
+    """File-based custom Hamiltonian, Schroedinger."""
+    _run_case(tmp_path, "hamiltonian-reader",
+              patterns=("expected*.dat", "population*.dat", "rho_*.dat",
+                        "optim_history.dat"))
+
+
+def test_hamiltonian_reader_lindblad(tmp_path):
+    """File-based custom Hamiltonian, Lindblad."""
+    _run_case(tmp_path, "hamiltonian-reader-lindblad",
+              patterns=("population*.dat", "expected*.dat", "rho_*.dat",
+                        "optim_history.dat"))
+
+
+def test_nlevels_4_4_4_4(tmp_path):
+    """4-oscillator 4x4x4x4 qudit forward simulation (the small perf case)."""
+    _run_case(tmp_path, "nlevels_4_4_4_4",
+              patterns=("expected*.dat", "population*.dat",
+                        "optim_history.dat"))
+
+
+def test_pipulse(tmp_path):
+    """Pi-pulse override windows, guard level + leakage penalty, Lindblad."""
+    _run_case(tmp_path, "pipulse",
+              patterns=("expected*.dat", "population*.dat",
+                        "optim_history.dat"))
+
+
+def test_spinchain_n8(tmp_path):
+    """8-qubit spin chain (N=256), file Hamiltonian, Schroedinger."""
+    _run_case(tmp_path, "spinchain_N8",
+              patterns=("population*.dat", "optim_history.dat"))
+
+
+def test_xgate_sparsemat_grad(tmp_path):
+    """Lindblad gradient with parameters from file vs golden grad.dat."""
+    _run_case(tmp_path, "xgate_sparsemat",
+              patterns=("grad.dat", "optim_history.dat"))
+
+
+# ----- optimization cases: compare achieved quality, not iterate paths -----
+
+def _golden_final_row(name):
+    path = os.path.join(REF, name, "base", "optim_history.dat")
+    rows = np.loadtxt(path)
+    return rows[-1] if rows.ndim == 2 else rows
+
+
+def _run_optim_case(tmp_path, name):
+    from quandary_tpu.cli import run
+    src = os.path.join(REF, name)
+    work = tmp_path / name
+    shutil.copytree(src, work, ignore=shutil.ignore_patterns("base"))
+    return run(str(work / f"{name}.cfg"), quiet=True)
+
+
+def test_xgate_optimization_quality(tmp_path):
+    """xgate: our optimizer must reach the reference's final objective class
+    (iterate-for-iterate parity with TAO BQNLS is not required)."""
+    res = _run_optim_case(tmp_path, "xgate")
+    golden = _golden_final_row("xgate")
+    # golden columns: iter, obj, gnorm, step, fidelity, cost, ...
+    assert res["objective"] <= max(2.0 * golden[1], golden[1] + 1e-4), \
+        (res["objective"], golden[1])
+
+
+def test_cnot_optimization_quality(tmp_path):
+    res = _run_optim_case(tmp_path, "cnot")
+    golden = _golden_final_row("cnot")
+    golden_infid = 1.0 - golden[4]
+    assert res["infidelity"] <= max(2.0 * golden_infid, 1e-3), \
+        (res["infidelity"], golden_infid)
+
+
+def test_state_to_state_spline0_quality(tmp_path):
+    res = _run_optim_case(tmp_path, "state-to-state_spline0")
+    golden = _golden_final_row("state-to-state_spline0")
+    assert res["objective"] <= max(2.0 * golden[1], golden[1] + 1e-4), \
+        (res["objective"], golden[1])
