@@ -1,0 +1,95 @@
+"""Benchmark: forward+adjoint gradient sweeps per second on the CNOT
+flagship workload (the BASELINE.json headline metric).
+
+One gradient sweep = value_and_grad of the full multi-initial-condition
+objective: forward propagation of all basis initial states over the full
+time horizon + discrete-adjoint backward pass + penalty integrals — the
+exact per-iteration work of the reference's evalGradF
+(optimproblem.cpp:342-538).
+
+Workload: 2-qubit CNOT gate optimization, reference quality-anchor shape
+(tests/python/test_example_cnot.py): T=200 ns, ntime=1221, 2 guard levels,
+ninit=4 basis states, 2 carrier waves per qubit, all penalties on.
+
+vs_baseline: ratio against an estimated 2.0 sweeps/s for the MPI CPU
+reference on this configuration (the reference publishes no absolute
+numbers — BASELINE.md; estimate from the regression-test wall times of
+comparable configs on one core x 4 procs).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SWEEPS_PER_S = 2.0  # estimated MPI-CPU reference throughput
+
+
+def build_problem():
+    import jax.numpy as jnp
+    from quandary_tpu.models import gates
+    from quandary_tpu.models.hamiltonian import build_standard_model
+    from quandary_tpu.problem import Problem, Setup
+    from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
+
+    Ne = [2, 2]
+    Ng = [2, 2]
+    nlevels = [e + g for e, g in zip(Ne, Ng)]
+    freq01 = [4.80595, 4.8601]
+    selfkerr = [0.2198, 0.2252]
+    model = build_standard_model(
+        nlevels=nlevels, freq01_ghz=freq01, rotfreq_ghz=freq01,
+        selfkerr_ghz=selfkerr, jkl_ghz=[0.005], crosskerr_ghz=[],
+    )
+    T, ntime = 200.0, 1221
+    oscs = tuple(
+        OscillatorControl(
+            segments=(ControlSegment("spline", nsplines=30, tstart=0.0, tstop=T),),
+            carrier_freqs=(0.0, 2 * np.pi * (freq01[1 - k] - freq01[k]),
+                           -2 * np.pi * selfkerr[k]),
+        ) for k in range(2)
+    )
+    V = gates.assemble_gate(gates.cnot(), nlevels, Ne, [0.0, 0.0], T)
+    setup = Setup(
+        model=model, nessential=tuple(Ne), ntime=ntime, dt=T / ntime,
+        oscillators=oscs, ground_freqs_radns=tuple(2 * np.pi * f for f in freq01),
+        initcond_type="basis", target_type="gate", target_gate_full=V,
+        objective_type="Jtrace", gamma_tik=1e-4, gamma_penalty=0.1,
+        gamma_penalty_energy=0.1, gamma_penalty_dpdm=0.01,
+        dtype=jnp.complex64, linsolve_iters=10,
+    )
+    return Problem(setup), setup
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    problem, setup = build_problem()
+    vg = problem.build_value_and_grad()
+    params = jnp.asarray(np.random.default_rng(1234).uniform(
+        -1, 1, setup.nparams) * 0.005, dtype=jnp.float32)
+
+    # compile + warmup
+    (J, aux), g = vg(params, params)
+    jax.block_until_ready(g)
+
+    # timed sweeps
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        (J, aux), g = vg(params, params)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / reps
+    sweeps_per_s = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "cnot_gradient_sweeps_per_s",
+        "value": round(sweeps_per_s, 3),
+        "unit": "sweeps/s",
+        "vs_baseline": round(sweeps_per_s / REFERENCE_SWEEPS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

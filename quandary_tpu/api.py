@@ -371,7 +371,16 @@ class Quandary:
             a = initamp_ghz * 2.0 * np.pi
             n = osc.nparams
             if self.randomize_init_ctrl:
-                v = rng.uniform(0.0, 1.0, n) * a
+                u = None
+                if self.rand_seed is not None:
+                    # bit-exact reference parity: std::mt19937(seed) restarted
+                    # per oscillator (the reference passes the engine by value
+                    # into each Oscillator ctor, main.cpp:240)
+                    from .io.native import mt19937_uniform
+                    u = mt19937_uniform(int(self.rand_seed), n)
+                if u is None:
+                    u = rng.uniform(0.0, 1.0, n)
+                v = u * a
                 v = 2.0 * v - a
             else:
                 v = np.full(n, a)

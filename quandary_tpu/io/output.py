@@ -100,17 +100,25 @@ def write_fullstate(datadir: str, initid: int, ts, states, lindblad: bool,
     states are vectorized COLUMN-major (the reference stores vec(rho))."""
     states = np.asarray(states)
     nt = states.shape[0]
-    if lindblad:
-        flat = states.reshape(nt, -1, order="F") if states.ndim == 3 else states
+    if lindblad and states.ndim == 3:
         # column-major vectorization of each rho
-        flat = np.stack([states[i].ravel(order="F") for i in range(nt)])
+        flat = states.transpose(0, 2, 1).reshape(nt, -1)
     else:
         flat = states
-    fu = open(os.path.join(datadir, f"{prefix}_Re.iinit{initid:04d}.dat"), "w", newline="\n")
-    fv = open(os.path.join(datadir, f"{prefix}_Im.iinit{initid:04d}.dat"), "w", newline="\n")
+    path_re = os.path.join(datadir, f"{prefix}_Re.iinit{initid:04d}.dat")
+    path_im = os.path.join(datadir, f"{prefix}_Im.iinit{initid:04d}.dat")
+
+    from . import native
+    re = np.ascontiguousarray(flat.real)
+    im = np.ascontiguousarray(flat.imag)
+    if (native.write_state_rows(path_re, "", ts, re, output_frequency)
+            and native.write_state_rows(path_im, "", ts, im, output_frequency)):
+        return
+    fu = open(path_re, "w", newline="\n")
+    fv = open(path_im, "w", newline="\n")
     for i in range(0, nt, output_frequency):
-        fu.write("%.8f  " % ts[i] + "".join("%1.10e  " % v for v in flat[i].real) + "\n")
-        fv.write("%.8f  " % ts[i] + "".join("%1.10e  " % v for v in flat[i].imag) + "\n")
+        fu.write("%.8f  " % ts[i] + "".join("%1.10e  " % v for v in re[i]) + "\n")
+        fv.write("%.8f  " % ts[i] + "".join("%1.10e  " % v for v in im[i]) + "\n")
     fu.close()
     fv.close()
 

@@ -91,11 +91,10 @@ def stage_midpoint_times(ntime: int, dt: float, timestepper: str) -> np.ndarray:
 def neumann_solve(matvec: Callable, b, half_dt, iters: int):
     """Solve (I - half_dt*M) k = b by the fixed-iteration Neumann recursion
     k <- b + half_dt * M k (timestepper.cpp:697-727, without the early-exit
-    tolerance branch, which XLA cannot use anyway)."""
-    k = b
-    for _ in range(iters):
-        k = b + half_dt * matvec(k)
-    return k
+    tolerance branch, which XLA cannot use anyway). Rolled with fori_loop to
+    keep the compiled graph small (one RHS application, looped)."""
+    return jax.lax.fori_loop(
+        0, iters, lambda _, k: b + half_dt * matvec(k), b)
 
 
 def gmres_solve(matvec: Callable, b, half_dt, iters: int):
