@@ -259,11 +259,19 @@ class Quandary:
         nlv = self.nlevels
         lind = self._lindblad_solver
         if self.standardmodel:
-            model = build_standard_model(
-                nlevels=nlv, freq01_ghz=self.freq01, rotfreq_ghz=self.rotfreq,
-                selfkerr_ghz=self.selfkerr, crosskerr_ghz=self.crosskerr,
-                jkl_ghz=self.Jkl, decay_time=self.T1, dephase_time=self.T2,
-                lindblad=lind)
+            if int(np.prod(nlv)) > 1024:
+                from .ops.tensor_rhs import build_structured_model
+                model = build_structured_model(
+                    nlevels=nlv, freq01_ghz=self.freq01, rotfreq_ghz=self.rotfreq,
+                    selfkerr_ghz=self.selfkerr, crosskerr_ghz=self.crosskerr,
+                    jkl_ghz=self.Jkl, decay_time=self.T1, dephase_time=self.T2,
+                    lindblad=lind)
+            else:
+                model = build_standard_model(
+                    nlevels=nlv, freq01_ghz=self.freq01, rotfreq_ghz=self.rotfreq,
+                    selfkerr_ghz=self.selfkerr, crosskerr_ghz=self.crosskerr,
+                    jkl_ghz=self.Jkl, decay_time=self.T1, dephase_time=self.T2,
+                    lindblad=lind)
         else:
             model = build_file_model(
                 nlevels=nlv, Hsys_radns=np.asarray(self.Hsys),

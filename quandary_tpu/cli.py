@@ -91,6 +91,11 @@ def run(config_path: str, quiet: bool = True, datadir_override: str = None) -> d
     params0 = spec.params0
     runtype = spec.runtype
 
+    # config_log.dat: record of all consumed configuration values
+    # (main.cpp:382-393 / config.hpp:141 export_param)
+    out_io.write_config_log(os.path.join(datadir, "config_log.dat"),
+                            sorted(cfg.items()))
+
     result = {"runtype": runtype, "datadir": datadir}
 
     if runtype in ("simulation", "gradient"):

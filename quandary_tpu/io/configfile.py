@@ -271,12 +271,24 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
             dephase_time=dephase if use_dephase else [0.0] * Q,
             lindblad=lindblad)
     else:
-        model = build_standard_model(
-            nlevels=nlevels, freq01_ghz=transfreq, rotfreq_ghz=rotfreq,
-            selfkerr_ghz=selfkerr, crosskerr_ghz=crosskerr, jkl_ghz=jkl,
-            decay_time=decay if use_decay else [0.0] * Q,
-            dephase_time=dephase if use_dephase else [0.0] * Q,
-            lindblad=lindblad)
+        # Standard model: use the dense operator stack for small N, the
+        # matrix-free tensor engine for large N (the dense (K, N, N) stack
+        # would not even fit for e.g. nlevels 32,32,32,32).
+        if N > 1024:
+            from ..ops.tensor_rhs import build_structured_model
+            model = build_structured_model(
+                nlevels=nlevels, freq01_ghz=transfreq, rotfreq_ghz=rotfreq,
+                selfkerr_ghz=selfkerr, crosskerr_ghz=crosskerr, jkl_ghz=jkl,
+                decay_time=decay if use_decay else [0.0] * Q,
+                dephase_time=dephase if use_dephase else [0.0] * Q,
+                lindblad=lindblad)
+        else:
+            model = build_standard_model(
+                nlevels=nlevels, freq01_ghz=transfreq, rotfreq_ghz=rotfreq,
+                selfkerr_ghz=selfkerr, crosskerr_ghz=crosskerr, jkl_ghz=jkl,
+                decay_time=decay if use_decay else [0.0] * Q,
+                dephase_time=dephase if use_dephase else [0.0] * Q,
+                lindblad=lindblad)
 
     # --- initial conditions ---
     ic_tokens = cfg.get_vec_str("initialcondition", "basis")

@@ -58,15 +58,19 @@ class DenseEngine:
                 G += L.conj().T @ L
             stack = stack.copy()
             stack[0] = stack[0] - 0.5j * G
-        self.stack = jnp.asarray(stack, dtype=dtype)
+        # Arrays are kept HOST-side (numpy): jit lowering embeds them as
+        # constants directly from host memory. Storing them on device would
+        # force a device->host fetch per constant at every trace — over a
+        # remote-TPU tunnel that dominates compile time.
+        self.stack = stack.astype(np.complex64 if dtype == jnp.complex64 else np.complex128)
         if self.lindblad and len(model.collapse_ops) > 0:
-            self.Ls = jnp.asarray(np.stack(model.collapse_ops), dtype=dtype)
+            self.Ls = np.stack(model.collapse_ops).astype(self.stack.dtype)
         else:
             self.Ls = None
 
     def assemble(self, c):
         """H_eff(t) from the (K,) coefficient row."""
-        return jnp.tensordot(c.astype(self.dtype), self.stack, axes=1)
+        return jnp.tensordot(c.astype(self.dtype), jnp.asarray(self.stack), axes=1)
 
     def rhs(self, c, x):
         """Apply the generator: c is the (K,) coefficient row; x is the state
@@ -79,7 +83,8 @@ class DenseEngine:
         out = -1j * (jnp.einsum("ij,bjk->bik", A, x)
                      - jnp.einsum("bij,jk->bik", x, A.conj().T))
         if self.Ls is not None:
-            out = out + jnp.einsum("cij,bjl,ckl->bik", self.Ls, x, self.Ls.conj())
+            Ls = jnp.asarray(self.Ls)
+            out = out + jnp.einsum("cij,bjl,ckl->bik", Ls, x, Ls.conj())
         return out
 
 

@@ -148,13 +148,15 @@ class TensorEngine:
         Q = model.n_osc
         self.Q = Q
 
-        # small per-oscillator operators
-        self.a = [jnp.asarray(lowering(d), dtype=dtype) for d in model.dims]
+        # small per-oscillator operators — host-side numpy; jit embeds them
+        # as constants without device round trips (see DenseEngine note)
+        ndt = np.complex64 if dtype == jnp.complex64 else np.complex128
+        self.a = [lowering(d).astype(ndt) for d in model.dims]
         self.apad = [self.a[k] + self.a[k].T for k in range(Q)]       # a+a^dag
         self.amad = [self.a[k] - self.a[k].T for k in range(Q)]       # a-a^dag
         # per-oscillator level vectors (float)
-        rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
-        self.levels = [jnp.arange(d, dtype=rdt) for d in model.dims]
+        rdt = np.float64 if dtype == jnp.complex128 else np.float32
+        self.levels = [np.arange(d, dtype=rdt) for d in model.dims]
 
         # Hamiltonian diagonal per-axis decomposition:
         # Hdiag = sum_k f_k(n_k) - sum_{k<l} xi_kl n_k n_l, with

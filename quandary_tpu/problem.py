@@ -73,6 +73,11 @@ class Setup:
     gamma_penalty_variation: float = 0.0
 
     dtype: object = jnp.complex128
+    # Time-parallel propagation (ops/propagator.py): 'auto' enables it for
+    # small dense systems where ntime * dim^2 fits comfortably in memory;
+    # True forces, False disables (sequential lax.scan).
+    time_parallel: object = "auto"
+    time_parallel_budget: int = 1 << 27        # max ntime * dim^2 elements
 
     @property
     def total_time(self) -> float:
@@ -123,7 +128,13 @@ class Problem:
         )
         self.initids = initids
         self.ninit = x0_np.shape[0]
-        self.x0 = jnp.asarray(x0_np, dtype=s.dtype)
+        # All static data is kept host-side (numpy): closed-over numpy arrays
+        # are embedded as compile-time constants directly from host memory,
+        # whereas device arrays would be fetched back at every jit trace —
+        # prohibitively slow on a remote-TPU tunnel. The sharded multi-chip
+        # path replaces these with device_put arrays (parallel/mesh.py).
+        npdt = np.complex64 if s.dtype == jnp.complex64 else np.complex128
+        self.x0 = x0_np.astype(npdt)
 
         # --- objective weights (optimproblem.cpp:71-91) ---
         w = np.asarray(s.obj_weights if s.obj_weights is not None else [1.0], dtype=float)
@@ -131,7 +142,8 @@ class Problem:
             w = np.concatenate([w, np.full(self.ninit - w.size, w[-1])])
         w = w[: self.ninit]
         w = w / w.sum()
-        self.weights = jnp.asarray(w, dtype=self.rdtype)
+        self.nprdtype = np.float32 if self.rdtype == jnp.float32 else np.float64
+        self.weights = w.astype(self.nprdtype)
 
         # --- targets ---
         self.pure_target_id = None
@@ -142,11 +154,11 @@ class Problem:
                 tgt = np.einsum("ij,bjk,lk->bil", V, x0_np, V.conj())
             else:
                 tgt = np.einsum("ij,bj->bi", V, x0_np)
-            self.target = jnp.asarray(tgt, dtype=s.dtype)
+            self.target = tgt.astype(npdt)
         elif s.target_type == "file" and s.target_state_full is not None:
             t1 = np.asarray(s.target_state_full, dtype=np.complex128)
             tgt = np.broadcast_to(t1, (self.ninit,) + t1.shape)
-            self.target = jnp.asarray(tgt, dtype=s.dtype)
+            self.target = np.ascontiguousarray(tgt).astype(npdt)
         elif s.target_type == "pure":
             levels = s.pure_target_levels or tuple([0] * model.n_osc)
             from .utils.indexing import flat_index
@@ -154,50 +166,79 @@ class Problem:
 
         # purity Tr(rho0^2) per initial condition (optimtarget.cpp:701-708)
         flat0 = x0_np.reshape(self.ninit, -1)
-        self.purity = jnp.asarray(
-            np.maximum(np.sum(np.abs(flat0) ** 2, axis=1), 1e-300), dtype=self.rdtype)
+        self.purity = np.maximum(np.sum(np.abs(flat0) ** 2, axis=1),
+                                 1e-300).astype(self.nprdtype)
 
         # --- penalty precomputations ---
         gmask = guard_mask(model.dims, s.nessential)
         self.has_guard = bool(gmask.any())
-        self.guard_mask = jnp.asarray(gmask)
+        self.guard_mask = gmask
         if s.penalty_param > 1e-13:
             a = s.penalty_param
             T = s.total_time
-            self.jt_weight = jnp.asarray(
-                (1.0 / a) * np.exp(-(((self.ts_stop - T) / a) ** 2)), dtype=self.rdtype)
+            self.jt_weight = ((1.0 / a) * np.exp(-(((self.ts_stop - T) / a) ** 2))
+                              ).astype(self.nprdtype)
         else:
             self.jt_weight = None
         if self.pure_target_id is not None:
-            self.measure_weights = jnp.asarray(
-                np.abs(np.arange(self.N) - self.pure_target_id), dtype=self.rdtype)
+            self.measure_weights = np.abs(
+                np.arange(self.N) - self.pure_target_id).astype(self.nprdtype)
         else:
             self.measure_weights = None
 
         self.step_fn = make_step_fn(self.engine.rhs, dt, s.timestepper,
                                     s.linsolve_iters, s.linsolver)
 
+        # --- time-parallel feasibility (ops/propagator.py) ---
+        dim_prop = self.N * self.N if self.lindblad else self.N
+        feasible = (isinstance(self.engine, DenseEngine)
+                    and s.linsolver == "neumann"
+                    and s.ntime * dim_prop * dim_prop <= s.time_parallel_budget)
+        if s.time_parallel == "auto":
+            # Building propagators costs O(dim^2) per step vs O(dim*B) for
+            # the sequential scan: pay off when the batch is comparable to
+            # the dimension, or when the problem is so small that the scan
+            # is latency-bound anyway.
+            profitable = dim_prop <= 64 or dim_prop <= 4 * self.ninit
+            self.time_parallel = feasible and profitable
+        else:
+            self.time_parallel = bool(s.time_parallel) and feasible
+        if self.time_parallel and self.lindblad:
+            from .ops.propagator import lindblad_superop_builder
+            self._superop_builder = lindblad_superop_builder(
+                jnp.asarray(self.engine.stack), self.engine.Ls)
+        else:
+            self._superop_builder = None
+
     # ------------------------------------------------------------------
     # state functionals
     # ------------------------------------------------------------------
 
+    @property
+    def _srank(self):
+        """Number of trailing state axes: 1 (psi) or 2 (rho)."""
+        return 2 if self.lindblad else 1
+
+    def _state_axes(self, x):
+        return tuple(range(x.ndim - self._srank, x.ndim))
+
     def _diag(self, x):
-        """Complex diagonal entries: psi components or rho_ii. (B, N)."""
+        """Complex diagonal entries: psi components or rho_ii, (..., N)."""
         if self.lindblad:
             return jnp.diagonal(x, axis1=-2, axis2=-1)
         return x
 
     def overlaps(self, x):
-        """Hilbert-Schmidt overlap <target_b, x_b> per batch element
-        (optimtarget.cpp:343-408). Complex (B,)."""
+        """Hilbert-Schmidt overlap <target_b, x_b> (optimtarget.cpp:343-408).
+        Accepts any leading batch dims whose last is the init batch;
+        returns complex (..., B)."""
         if self.target is not None:
-            tgt = self.target
-            axes = tuple(range(1, x.ndim))
-            return jnp.sum(tgt.conj() * x, axis=axes)
+            return jnp.sum(jnp.conj(jnp.asarray(self.target)) * x,
+                           axis=self._state_axes(x))
         if self.pure_target_id is not None:
             d = self._diag(x)
-            return d[:, self.pure_target_id]
-        return jnp.zeros((x.shape[0],), dtype=x.dtype)
+            return d[..., self.pure_target_id]
+        return jnp.zeros(x.shape[:-self._srank], dtype=x.dtype)
 
     def eval_J_parts(self, x):
         """Per-initial-condition raw objective values (J_re, J_im), (B,).
@@ -206,24 +247,25 @@ class Problem:
         JFROBENIUS / JMEASURE: real scalars.
         """
         obj = self.setup.objective_type
+        axes = self._state_axes(x)
         if obj == "Jtrace":
             ov = self.overlaps(x)
-            return jnp.real(ov) / self.purity, jnp.imag(ov)
+            return jnp.real(ov) / jnp.asarray(self.purity), jnp.imag(ov)
         if obj == "Jfrobenius":
             if self.target is not None:
-                diff = x - self.target
-                J = 0.5 * jnp.sum(jnp.abs(diff) ** 2, axis=tuple(range(1, x.ndim)))
+                diff = x - jnp.asarray(self.target)
+                J = 0.5 * jnp.sum(jnp.abs(diff) ** 2, axis=axes)
             else:
                 # pure target e_m (e_m e_m^dag): 1/2 || x - E_m ||^2
                 d = self._diag(x)
                 m = self.pure_target_id
-                norm2 = jnp.sum(jnp.abs(x) ** 2, axis=tuple(range(1, x.ndim)))
-                J = 0.5 * (norm2 - 2.0 * jnp.real(d[:, m]) + 1.0)
+                norm2 = jnp.sum(jnp.abs(x) ** 2, axis=axes)
+                J = 0.5 * (norm2 - 2.0 * jnp.real(d[..., m]) + 1.0)
             return J, jnp.zeros_like(J)
         if obj == "Jmeasure":
             pop = solvers.population_full(x, self.lindblad) if self.lindblad \
                 else jnp.abs(x) ** 2
-            J = pop @ self.measure_weights.astype(pop.dtype)
+            J = pop @ jnp.asarray(self.measure_weights).astype(pop.dtype)
             return J, jnp.zeros_like(J)
         raise ValueError(obj)
 
@@ -261,7 +303,117 @@ class Problem:
 
     def objective(self, params, params_ref):
         """Full objective. Returns (J_total, aux) with every term and the
-        fidelity, matching optimproblem.cpp:224-338 semantics."""
+        fidelity, matching optimproblem.cpp:224-338 semantics. Dispatches to
+        the time-parallel path (associative-scan propagators) when enabled."""
+        if self.time_parallel:
+            return self._objective_time_parallel(params, params_ref)
+        return self._objective_scan(params, params_ref)
+
+    def _energy_integral(self, params):
+        s = self.setup
+        if s.gamma_penalty_energy > 1e-13:
+            p_stop, q_stop = eval_controls(self.plan_stop, params, s.pipulses)
+            return jnp.sum(p_stop ** 2 + q_stop ** 2) / s.ntime
+        return jnp.zeros((), dtype=self.rdtype)
+
+    def _assemble_objective(self, params, params_ref, xT, pen_leak_b,
+                            pen_jt_b, pen_dpdm_b, energy_int):
+        """Common tail: final-time cost, fidelity, regularizers, totals."""
+        s = self.setup
+        w = jnp.asarray(self.weights)
+        J_re_b, J_im_b = self.eval_J_parts(xT)
+        J_re = jnp.sum(w * J_re_b)
+        J_im = jnp.sum(w * J_im_b)
+        obj_cost = self.finalize_J(J_re, J_im)
+
+        ov = self.overlaps(xT)
+        fid_re = jnp.sum(jnp.real(ov)) / self.ninit
+        fid_im = jnp.sum(jnp.imag(ov)) / self.ninit
+        fidelity = fid_re if self.lindblad else fid_re ** 2 + fid_im ** 2
+
+        dx = params - params_ref if s.gamma_tik_interpolate else params
+        obj_regul = 0.5 * s.gamma_tik * jnp.sum(dx * dx)
+
+        obj_penal = jnp.zeros((), dtype=self.rdtype)
+        if pen_leak_b is not None:
+            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(w * pen_leak_b)
+        if pen_jt_b is not None:
+            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(w * pen_jt_b)
+        obj_penal_dpdm = (s.gamma_penalty_dpdm * jnp.sum(w * pen_dpdm_b) / s.ntime
+                          if pen_dpdm_b is not None
+                          else jnp.zeros((), dtype=self.rdtype))
+        obj_penal_energy = s.gamma_penalty_energy * energy_int
+        if s.gamma_penalty_variation > 1e-13:
+            obj_penal_variation = 0.5 * s.gamma_penalty_variation * \
+                control_variation_penalty(self.plan_mid, params)
+        else:
+            obj_penal_variation = jnp.zeros((), dtype=self.rdtype)
+
+        J = (obj_cost + obj_regul + obj_penal + obj_penal_dpdm
+             + obj_penal_energy + obj_penal_variation)
+        aux = {
+            "obj_cost": obj_cost,
+            "obj_regul": obj_regul,
+            "obj_penal": obj_penal,
+            "obj_penal_dpdm": obj_penal_dpdm,
+            "obj_penal_energy": obj_penal_energy,
+            "obj_penal_variation": obj_penal_variation,
+            "fidelity": fidelity,
+        }
+        return J, aux
+
+    def _all_states_time_parallel(self, params):
+        """States after steps 1..ntime, shape (ntime, B, ...), computed with
+        batched step matrices + associative-scan prefix products."""
+        from .ops.propagator import (build_step_matrices_dense,
+                                     prefix_propagators, propagate_states)
+        s = self.setup
+        C = self.coeff_rows_mid(params)
+        stack = jnp.asarray(self.engine.stack)
+        S = build_step_matrices_dense(stack, C, s.dt, s.timestepper,
+                                      s.linsolve_iters,
+                                      lindblad_superop=self._superop_builder)
+        P = prefix_propagators(S)
+        if self.lindblad:
+            x0v = jnp.asarray(self.x0).transpose(0, 2, 1).reshape(self.ninit, -1)
+            sv = propagate_states(P, x0v)
+            return sv.reshape(s.ntime, self.ninit, self.N, self.N).swapaxes(-1, -2)
+        return propagate_states(P, jnp.asarray(self.x0))
+
+    def _objective_time_parallel(self, params, params_ref):
+        s = self.setup
+        states = self._all_states_time_parallel(params)     # (T, B, ...)
+        xT = states[-1]
+        energy_int = self._energy_integral(params)
+
+        use_leak = self.has_guard and s.gamma_penalty > 1e-13
+        use_jt = self.jt_weight is not None and s.gamma_penalty > 1e-13
+        use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
+
+        pen_leak_b = pen_jt_b = pen_dpdm_b = None
+        if use_leak:
+            if self.lindblad:
+                d = jnp.diagonal(states, axis1=-2, axis2=-1)
+            else:
+                d = states
+            leak_tb = jnp.sum((jnp.abs(d) ** 2) * self.guard_mask[None, None, :],
+                              axis=-1)
+            pen_leak_b = jnp.sum(leak_tb, axis=0) / s.ntime
+        if use_jt:
+            Jtb = self.eval_J_per_state(states)               # (T, B)
+            pen_jt_b = jnp.sum(jnp.asarray(self.jt_weight)[:, None] * Jtb, axis=0) * s.dt
+        if use_dpdm:
+            B = self.ninit
+            pop0 = jnp.abs(jnp.asarray(self.x0).reshape(1, B, -1)) ** 2
+            popt = jnp.abs(states.reshape(states.shape[0], B, -1)) ** 2
+            pop = jnp.concatenate([pop0, popt], axis=0)      # (T+1, B, dim)
+            sec = pop[2:] - 2.0 * pop[1:-1] + pop[:-2]
+            pen_dpdm_b = jnp.sum(sec * sec, axis=(0, 2)) / s.dt ** 4
+
+        return self._assemble_objective(params, params_ref, xT, pen_leak_b,
+                                        pen_jt_b, pen_dpdm_b, energy_int)
+
+    def _objective_scan(self, params, params_ref):
         s = self.setup
         C = self.coeff_rows_mid(params)
 
@@ -314,49 +466,9 @@ class Problem:
             xT, acc = solvers.propagate(self.step_fn, self.x0, C)
             acc = {}
 
-        # final-time cost (weighted sum BEFORE finalization, optimproblem.cpp:267-308)
-        J_re_b, J_im_b = self.eval_J_parts(xT)
-        J_re = jnp.sum(self.weights * J_re_b)
-        J_im = jnp.sum(self.weights * J_im_b)
-        obj_cost = self.finalize_J(J_re, J_im)
-
-        # fidelity (1/ninit averaging, unscaled by purity, optimproblem.cpp:274-305)
-        ov = self.overlaps(xT)
-        fid_re = jnp.sum(jnp.real(ov)) / self.ninit
-        fid_im = jnp.sum(jnp.imag(ov)) / self.ninit
-        fidelity = fid_re if self.lindblad else fid_re ** 2 + fid_im ** 2
-
-        # regularizers and penalties
-        dx = params - params_ref if s.gamma_tik_interpolate else params
-        obj_regul = 0.5 * s.gamma_tik * jnp.sum(dx * dx)
-
-        obj_penal = jnp.zeros((), dtype=self.rdtype)
-        if use_leak:
-            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(self.weights * acc["leak"])
-        if use_jt:
-            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(self.weights * acc["jt"])
-        obj_penal_dpdm = (
-            s.gamma_penalty_dpdm * jnp.sum(self.weights * acc["dpdm"]) / s.ntime
-            if use_dpdm else jnp.zeros((), dtype=self.rdtype))
-        obj_penal_energy = s.gamma_penalty_energy * energy_int
-        if s.gamma_penalty_variation > 1e-13:
-            obj_penal_variation = 0.5 * s.gamma_penalty_variation * \
-                control_variation_penalty(self.plan_mid, params)
-        else:
-            obj_penal_variation = jnp.zeros((), dtype=self.rdtype)
-
-        J = (obj_cost + obj_regul + obj_penal + obj_penal_dpdm
-             + obj_penal_energy + obj_penal_variation)
-        aux = {
-            "obj_cost": obj_cost,
-            "obj_regul": obj_regul,
-            "obj_penal": obj_penal,
-            "obj_penal_dpdm": obj_penal_dpdm,
-            "obj_penal_energy": obj_penal_energy,
-            "obj_penal_variation": obj_penal_variation,
-            "fidelity": fidelity,
-        }
-        return J, aux
+        return self._assemble_objective(
+            params, params_ref, xT,
+            acc.get("leak"), acc.get("jt"), acc.get("dpdm"), energy_int)
 
     # compiled entry points -------------------------------------------------
 
@@ -366,14 +478,31 @@ class Problem:
     def build_objective(self):
         return jax.jit(self.objective)
 
+    def build_ensemble_value_and_grad(self):
+        """value_and_grad vmapped over an ensemble of control vectors
+        (E, nparams) -> ((J (E,), aux (E,...)), grad (E, nparams)).
+
+        This is the batched-candidate axis the reference has no analog for:
+        many control candidates (multi-start optimization, robust-control
+        ensembles, population-based search) propagate simultaneously, turning
+        the small per-problem matmuls into large batched GEMMs."""
+        vg = jax.value_and_grad(self.objective, has_aux=True)
+        return jax.jit(jax.vmap(vg, in_axes=(0, None)))
+
     def propagate_final(self, params):
         """Forward-only propagation; returns final states (B, ...)."""
+        if self.time_parallel:
+            return self._all_states_time_parallel(params)[-1]
         C = self.coeff_rows_mid(params)
         xT, _ = solvers.propagate(self.step_fn, self.x0, C, remat=False)
         return xT
 
     def propagate_trajectory(self, params):
         """All states (ntime+1, B, ...) for trajectory output."""
+        if self.time_parallel:
+            states = self._all_states_time_parallel(params)
+            x0 = jnp.asarray(self.x0).astype(states.dtype)
+            return jnp.concatenate([x0[None], states], axis=0)
         C = self.coeff_rows_mid(params)
         return solvers.propagate_trajectory(self.step_fn, self.x0, C)
 
