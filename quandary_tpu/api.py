@@ -535,7 +535,7 @@ class Quandary:
                 penalty_variation=float(aux["obj_penal_variation"]))]
 
         # trajectory + observables
-        traj = np.asarray(problem.propagate_trajectory(jnp.asarray(params)))
+        traj = np.asarray(problem.build_propagate_trajectory()(jnp.asarray(params)))
         result = self._collect_results(problem, setup, params, traj, history, datadir)
         return result
 

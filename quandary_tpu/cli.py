@@ -28,7 +28,10 @@ def _write_trajectories(problem: Problem, setup: Setup, spec: RunSpec,
     import jax.numpy as jnp
     from .ops import solvers as slv
 
-    traj = np.asarray(problem.propagate_trajectory(jnp.asarray(params)))
+    if not any(o and o != ["none"] for o in spec.outputs):
+        return
+
+    traj = np.asarray(problem.build_propagate_trajectory()(jnp.asarray(params)))
     ts = problem.ts_out
     lind = problem.lindblad
     dims = setup.model.dims

@@ -316,13 +316,21 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
     if gate_rot[0] >= 1e19:
         gate_rot = [0.0] * Q
     gate_rot = copy_last(gate_rot, Q)
+    target_batch_fn = None
     if tgt[0] == "gate":
         gname = tgt[1] if len(tgt) > 1 else "none"
+        dim_ess = int(np.prod(nessential))
         if gname == "file":
-            dim_ess = int(np.prod(nessential))
             p = tgt[2]
             p = p if os.path.isabs(p) else os.path.join(workdir, p)
             Vess = gates_mod.read_gate_file(p, dim_ess)
+        elif dim_ess > 1024 and gname in gates_mod.PERMUTATION_GATES:
+            # large N: never materialize the gate; apply the permutation to
+            # the initial-condition batch lazily (after it is built below)
+            Vess = None
+            target_type = "gate"
+            target_batch_fn = lambda x0: gates_mod.apply_permutation_gate_to_states(
+                gname, x0, nlevels, nessential, gate_rot, total_time, lindblad)
         else:
             Vess = gates_mod.from_name(gname, nessential)
         if Vess is not None:
@@ -349,6 +357,15 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
             full[emap] = ess
         target_state_full = full
 
+    target_batch = None
+    if target_batch_fn is not None:
+        from ..models.initialconditions import build_initial_states
+        osc_ids_t = ic_ids if len(ic_ids) > 0 else tuple(range(Q))
+        x0_np, _ = build_initial_states(
+            ic_type, nlevels, nessential, osc_ids_t, lindblad,
+            pure_levels=pure_levels, from_file_state=init_state)
+        target_batch = target_batch_fn(x0_np)
+
     setup = Setup(
         model=model,
         nessential=tuple(nessential),
@@ -356,6 +373,7 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
         dt=dt,
         timestepper=cfg.get_str("timestepper", "IMR"),
         linsolve_iters=cfg.get_int("linearsolver_maxiter", 20),
+        linsolver="neumann",  # Problem auto-switches to GMRES for stiff dt
         oscillators=tuple(oscillators),
         pipulses=tuple(pipulses) if any(len(p) for p in pipulses) else None,
         ground_freqs_radns=tuple(2.0 * np.pi * f for f in transfreq),
@@ -366,6 +384,7 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
         target_type=target_type,
         target_gate_full=target_gate_full,
         target_state_full=target_state_full,
+        target_batch=target_batch,
         pure_target_levels=pure_target_levels,
         objective_type={"Jfrobenius": "Jfrobenius", "Jtrace": "Jtrace",
                         "Jmeasure": "Jmeasure"}[cfg.get_str("optim_objective", "Jtrace")],

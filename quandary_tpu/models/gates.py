@@ -131,6 +131,77 @@ def from_name(name: str, nessential: Sequence[int]) -> np.ndarray:
     raise ValueError(f"unknown gate {name}")
 
 
+PERMUTATION_GATES = ("xgate", "cnot", "swap", "swap0q", "cqnot")
+
+
+def permutation_spec(name: str, nessential) -> np.ndarray:
+    """Column->row permutation p with V e_j = e_{p[j]} (essential dims) for
+    the permutation-structured gates. Used for large-N targets where the
+    dense gate matrix cannot be materialized (e.g. CQNOT at N ~ 1e6,
+    tests/performance/configs/nlevels_32_32_32_32.cfg)."""
+    dim_ess = int(np.prod(nessential))
+    name = name.lower()
+    p = np.arange(dim_ess, dtype=np.int64)
+    if name == "xgate":
+        assert dim_ess == 2
+        p = np.array([1, 0])
+    elif name == "cnot":
+        assert dim_ess == 4
+        p = np.array([0, 1, 3, 2])
+    elif name == "swap":
+        assert dim_ess == 4
+        p = np.array([0, 2, 1, 3])
+    elif name == "swap0q":
+        Q = len(nessential)
+        for i in range(dim_ess):
+            bits = [(i >> (Q - 1 - k)) & 1 for k in range(Q)]
+            bits[0], bits[-1] = bits[-1], bits[0]
+            j = 0
+            for b in bits:
+                j = (j << 1) | b
+            p[i] = j
+    elif name == "cqnot":
+        p[dim_ess - 2], p[dim_ess - 1] = dim_ess - 1, dim_ess - 2
+    else:
+        raise ValueError(f"{name} is not a permutation gate")
+    return p
+
+
+def apply_permutation_gate_to_states(
+        name: str, x0: np.ndarray, nlevels, nessential,
+        gate_rot_freq_ghz, final_time: float, lindblad: bool) -> np.ndarray:
+    """Target batch V x0 (Schroedinger) or V rho0 V^dag (Lindblad) without
+    materializing the gate, for permutation gates incl. rotation and
+    guard-level lifting. x0: (B, N) or (B, N, N) complex numpy."""
+    from ..utils.indexing import (ess_to_full_map, essential_mask,
+                                  map_full_to_ess, multi_index)
+    N = int(np.prod(nlevels, dtype=np.int64))
+    p = permutation_spec(name, nessential)
+    emap = ess_to_full_map(nlevels, nessential)
+    emask = essential_mask(nlevels, nessential)
+
+    # full-dim permutation pi (identity on guard) and row phases
+    pi = np.arange(N, dtype=np.int64)
+    pi[emap] = emap[p]           # column emap[j] -> row emap[p[j]]
+    freqs = 2.0 * np.pi * np.asarray(gate_rot_freq_ghz, dtype=float)
+    phase = np.ones(N, dtype=np.complex128)
+    for pos, r_full in enumerate(emap):
+        levels = multi_index(pos, nessential)
+        w = sum(l * f for l, f in zip(levels, freqs))
+        phase[r_full] = np.exp(1j * w * final_time)
+
+    # V x: out[pi[i]] = phase[pi[i]] * x[i]
+    inv = np.empty(N, dtype=np.int64)
+    inv[pi] = np.arange(N)
+    if lindblad:
+        # (V rho V^dag)[a, b] = phase[a] conj(phase[b]) rho[inv[a], inv[b]]
+        out = x0[:, inv][:, :, inv]
+        out = out * phase[None, :, None] * np.conj(phase)[None, None, :]
+        return out
+    out = x0[:, inv] * phase[None, :]
+    return out
+
+
 def read_gate_file(path: str, dim_ess: int) -> np.ndarray:
     """File format: column-wise vectorization, all real parts then all
     imaginary parts, one value per line (quandary.py:557-562)."""

@@ -1,0 +1,202 @@
+"""Grouped (matricized) RHS engine for large-N Schroedinger systems.
+
+Partition the Q oscillators into a Left group (first axes) and a Right group
+(remaining axes) with dims m1 x m2 ~ sqrt(N) each. The state becomes an
+(m1, m2) MATRIX X, and the Hamiltonian splits as
+
+    H = H_L (x) I + I (x) H_R + cross terms
+    H x  <->  H_L @ X + X @ H_R^T + cross
+
+where the group-local operators H_L(t), H_R(t) absorb every term that acts
+only within one group (detuning, self-Kerr, within-group cross-Kerr and JC
+coupling, and the p/q control terms of that group's oscillators), assembled
+per time step from the same (K,) coefficient rows via small stack
+contractions. The two GEMMs are m1 x m1 x m2 / m1 x m2 x m2 — exactly the
+square-ish large matmuls the MXU wants (full utilization at m ~ 1024),
+instead of rank-32 contractions at ~6% utilization.
+
+Cross-group terms stay cheap:
+* cross-group cross-Kerr is DIAGONAL: one precomputed (m1, m2) mask,
+  elementwise;
+* cross-group JC coupling (a_k^dag a_l with k in L, l in R) is a two-sided
+  product A @ X @ B^T with A, B group-embedded ladder operators — two more
+  GEMMs per nonzero cross pair.
+
+Per RHS application on 32^4 (N = 2^20): 2 GEMMs + 2 per cross-JC pair at
+~8.6 GFLOP each — MXU-bound at near-peak utilization, versus the per-axis
+path's transpose-bound ~3% of HBM bandwidth.
+
+Schroedinger only (rho would need the same trick on row/col groups; the
+Lindblad dimension N^2 makes the dense-group matrices infeasible first).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.operators import coupling_pairs, embed, lowering, number
+from .tensor_rhs import StructuredModel
+
+
+def _split_axes(dims) -> int:
+    """Split index: first `s` axes go Left, rest Right, balancing the dims."""
+    best, best_ratio = 1, float("inf")
+    total = float(np.prod(dims))
+    for s in range(1, len(dims)):
+        m1 = float(np.prod(dims[:s]))
+        ratio = max(m1 * m1 / total, total / (m1 * m1))
+        if ratio < best_ratio:
+            best, best_ratio = s, ratio
+    return best
+
+
+class GroupedEngine:
+    """rhs(c, x) with x flat (B, N); Schroedinger only."""
+
+    def __init__(self, model: StructuredModel, dtype=jnp.complex64):
+        assert not model.lindblad, "GroupedEngine is Schroedinger-only"
+        self.model = model
+        self.dtype = dtype
+        self.lindblad = False
+        self.N = model.N
+        dims = model.dims
+        Q = len(dims)
+        s = _split_axes(dims)
+        self.split = s
+        dimsL, dimsR = dims[:s], dims[s:]
+        m1 = int(np.prod(dimsL))
+        m2 = int(np.prod(dimsR))
+        self.m1, self.m2 = m1, m2
+        K = model.K
+        ndt = np.complex64 if dtype == jnp.complex64 else np.complex128
+
+        def group_ops(dims_g, offset):
+            """(K, m, m) stack of group-local operators with the global
+            coefficient layout [1, p_0..p_{Q-1}, q.., cosJC.., sinJC..]."""
+            m = int(np.prod(dims_g))
+            Qg = len(dims_g)
+            stack = np.zeros((K, m, m), dtype=np.complex128)
+            a_g = [embed(lowering(dims_g[k]), k, dims_g) for k in range(Qg)]
+            n_g = [embed(number(dims_g[k]), k, dims_g) for k in range(Qg)]
+            # constant slot: detuning + self-Kerr (+ within-group crossKerr)
+            for k in range(Qg):
+                gk = offset + k
+                nk = n_g[k]
+                stack[0] += model.detune[gk] * nk \
+                    - model.selfkerr[gk] / 2.0 * (nk @ nk - nk)
+                # control slots
+                stack[1 + gk] += a_g[k] + a_g[k].T
+                stack[1 + Q + gk] += 1j * (a_g[k] - a_g[k].T)
+            for idx, (k, l) in enumerate(coupling_pairs(Q)):
+                both_in = (offset <= k < offset + Qg) and (offset <= l < offset + Qg)
+                if both_in and abs(model.crosskerr[idx]) > 1e-14:
+                    stack[0] -= model.crosskerr[idx] * (
+                        n_g[k - offset] @ n_g[l - offset])
+            for j, (k, l) in enumerate(model.jc_pairs):
+                if (offset <= k < offset + Qg) and (offset <= l < offset + Qg):
+                    akd_al = a_g[k - offset].T @ a_g[l - offset]
+                    ak_ald = a_g[k - offset] @ a_g[l - offset].T
+                    J = model.jkl[j]
+                    stack[1 + 2 * Q + j] += J * (akd_al + ak_ald)
+                    stack[1 + 2 * Q + model.n_jc + j] += J * 1j * (akd_al - ak_ald)
+            return stack.astype(ndt)
+
+        self.stackL = group_ops(dimsL, 0)           # (K, m1, m1)
+        self.stackR = group_ops(dimsR, s)           # (K, m2, m2)
+
+        # cross-group cross-Kerr: diagonal mask sum_c -xi_c nL_c (x) nR_c
+        levelsL = [np.diag(embed(number(dimsL[k]), k, dimsL)) for k in range(len(dimsL))]
+        levelsR = [np.diag(embed(number(dimsR[k]), k, dimsR)) for k in range(len(dimsR))]
+        Dx = np.zeros((m1, m2))
+        for idx, (k, l) in enumerate(coupling_pairs(Q)):
+            if k < s <= l and abs(model.crosskerr[idx]) > 1e-14:
+                Dx -= model.crosskerr[idx] * np.outer(levelsL[k], levelsR[l - s])
+        self.cross_diag = Dx.astype(np.float32 if dtype == jnp.complex64 else np.float64) \
+            if np.abs(Dx).max() > 0 else None
+
+        # cross-group JC pairs: stacked A = a_k^dag (L), B = a_l (R)
+        self.cross_idx = []
+        self.cross_J = []
+        As, Bs = [], []
+        for j, (k, l) in enumerate(model.jc_pairs):
+            if k < s <= l:
+                As.append(embed(lowering(dims[k]), k, dimsL).T.astype(ndt))
+                Bs.append(embed(lowering(dims[l]), l - s, dimsR).astype(ndt))
+                self.cross_idx.append(j)
+                self.cross_J.append(model.jkl[j])
+        self.crossA = np.stack(As) if As else None
+        self.crossB = np.stack(Bs) if Bs else None
+
+        self.K = K
+
+    def gen_diag(self):
+        """Elementwise generator diagonal -i*H_diag, flat (N,) numpy."""
+        from ..utils.operators import drift_diagonal
+        m = self.model
+        d = drift_diagonal(m.dims, m.detune, m.selfkerr, m.crosskerr)
+        ndt = np.complex64 if self.dtype == jnp.complex64 else np.complex128
+        return (-1j * d).astype(ndt)
+
+    def rhs(self, c, x):
+        """x: (B, N) flat -> -i H x, via (B, m1, m2) matricization.
+
+        REAL-arithmetic formulation: the state and operators are split into
+        re/im planes and every product is an f32 (or f64) GEMM —
+        (Hr + iHi)(Xr + iXi) = (Hr Xr - Hi Xi) + i(Hr Xi + Hi Xr). Explicit
+        real GEMMs map cleanly onto the MXU (and avoid backend gaps in large
+        complex dots); the ladder operators A, B are real, so each cross-JC
+        side costs 2 real GEMMs.
+        """
+        B = x.shape[0]
+        rdt = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+        X = x.reshape(B, self.m1, self.m2)
+        Xr = jnp.real(X).astype(rdt)
+        Xi = jnp.imag(X).astype(rdt)
+        cr = c.astype(rdt)
+
+        SL = jnp.asarray(self.stackL)
+        SR = jnp.asarray(self.stackR)
+        HLr = jnp.tensordot(cr, jnp.real(SL).astype(rdt), axes=1)
+        HLi = jnp.tensordot(cr, jnp.imag(SL).astype(rdt), axes=1)
+        HRr = jnp.tensordot(cr, jnp.real(SR).astype(rdt), axes=1)
+        HRi = jnp.tensordot(cr, jnp.imag(SR).astype(rdt), axes=1)
+
+        def lm(M, V):      # left multiply (m1,m1) x (B,m1,m2)
+            return jnp.einsum("ij,bjm->bim", M, V)
+
+        def rm(V, M):      # right multiply (B,m1,m2) x (m2,m2)
+            return jnp.einsum("bim,mn->bin", V, M)
+
+        Yr = lm(HLr, Xr) - lm(HLi, Xi) + rm(Xr, HRr.T) - rm(Xi, HRi.T)
+        Yi = lm(HLr, Xi) + lm(HLi, Xr) + rm(Xi, HRr.T) + rm(Xr, HRi.T)
+
+        if self.cross_diag is not None:
+            D = jnp.asarray(self.cross_diag).astype(rdt)[None, :, :]
+            Yr = Yr + Xr * D
+            Yi = Yi + Xi * D
+
+        Q = self.model.n_osc
+        for i, j in enumerate(self.cross_idx):
+            J = self.cross_J[i]
+            A = jnp.real(jnp.asarray(self.crossA)[i]).astype(rdt)   # real ladder ops
+            Bm = jnp.real(jnp.asarray(self.crossB)[i]).astype(rdt)
+            zr = (J * c[1 + 2 * Q + j]).astype(rdt)
+            zi = (J * c[1 + 2 * Q + self.model.n_jc + j]).astype(rdt)
+            # t1 = A X B^T (complex), coefficient z = zr + i zi
+            AXr = lm(A, Xr)
+            AXi = lm(A, Xi)
+            t1r = rm(AXr, Bm.T)
+            t1i = rm(AXi, Bm.T)
+            # t2 = A^T X B, coefficient conj(z)
+            AtXr = lm(A.T, Xr)
+            AtXi = lm(A.T, Xi)
+            t2r = rm(AtXr, Bm)
+            t2i = rm(AtXi, Bm)
+            Yr = Yr + zr * t1r - zi * t1i + zr * t2r + zi * t2i
+            Yi = Yi + zr * t1i + zi * t1r + zr * t2i - zi * t2r
+        # -i (Yr + i Yi) = Yi - i Yr
+        return jax.lax.complex(Yi, -Yr).astype(self.dtype).reshape(x.shape)

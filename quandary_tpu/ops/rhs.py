@@ -68,6 +68,21 @@ class DenseEngine:
         else:
             self.Ls = None
 
+    def gen_diag(self):
+        """Elementwise diagonal of the generator (state-shaped, no batch):
+        Schroedinger -i h_i; Lindblad -i(h_i - conj(h_j)) plus the diagonal
+        jump contribution sum_c L_ii conj(L_jj) (nonzero for dephasing).
+        Used by the Jacobi-preconditioned stage solve."""
+        h = np.diagonal(self.stack[0])
+        if not self.lindblad:
+            return (-1j * h).astype(self.stack.dtype)
+        d = -1j * (h[:, None] - np.conj(h)[None, :])
+        if self.Ls is not None:
+            for L in self.Ls:
+                dl = np.diagonal(L)
+                d = d + dl[:, None] * np.conj(dl)[None, :]
+        return d.astype(self.stack.dtype)
+
     def assemble(self, c):
         """H_eff(t) from the (K,) coefficient row."""
         return jnp.tensordot(c.astype(self.dtype), jnp.asarray(self.stack), axes=1)

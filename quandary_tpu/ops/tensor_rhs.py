@@ -167,6 +167,33 @@ class TensorEngine:
         self.ck_pairs = [(idx, kl) for idx, kl in enumerate(coupling_pairs(Q))
                          if abs(model.crosskerr[idx]) > 1e-14]
 
+    def gen_diag(self):
+        """Elementwise generator diagonal (numpy, state-shaped): see
+        DenseEngine.gen_diag. Includes ALL elementwise dissipator terms
+        (the gamma2 jump n rho n is diagonal in this sense)."""
+        from ..utils.operators import drift_diagonal
+        m = self.model
+        d = drift_diagonal(m.dims, m.detune, m.selfkerr, m.crosskerr)
+        ndt = np.complex64 if self.dtype == jnp.complex64 else np.complex128
+        if not self.lindblad:
+            return (-1j * d).astype(ndt)
+        N = self.N
+        out = (-1j * (d[:, None] - d[None, :])).astype(np.complex128)
+        levels = [np.asarray(lv, dtype=np.float64) for lv in self.levels]
+        # per-oscillator level of every flat index
+        idx = np.arange(N)
+        for k in range(self.Q):
+            post = int(np.prod(m.dims[k + 1:])) if k + 1 < self.Q else 1
+            nk = (idx // post) % m.dims[k]
+            nr = nk[:, None].astype(float)
+            nc = nk[None, :].astype(float)
+            g1, g2 = m.gamma_decay[k], m.gamma_dephase[k]
+            if g1 > 0:
+                out = out - (g1 / 2.0) * (nr + nc)
+            if g2 > 0:
+                out = out + g2 * (nr * nc - 0.5 * nr * nr - 0.5 * nc * nc)
+        return out.astype(ndt)
+
     # -- diagonal of H applied elementwise on the row (or sole) index group --
     def _bshape(self, axis_group_offset, k, ndim):
         """Broadcast shape for the level vector of oscillator k living at

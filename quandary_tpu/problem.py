@@ -59,6 +59,7 @@ class Setup:
     target_type: str = "none"                  # 'gate' | 'pure' | 'file' | 'none'
     target_gate_full: Optional[np.ndarray] = None    # assembled full-dim V
     target_state_full: Optional[np.ndarray] = None   # full-dim target (file)
+    target_batch: Optional[np.ndarray] = None        # precomputed (B, ...) targets
     pure_target_levels: Optional[Tuple[int, ...]] = None
 
     objective_type: str = "Jtrace"
@@ -106,7 +107,12 @@ class Problem:
         # per-axis contractions (StructuredModel) ---
         from .ops.tensor_rhs import StructuredModel, TensorEngine
         if isinstance(model, StructuredModel):
-            self.engine = TensorEngine(model, dtype=s.dtype)
+            if not model.lindblad and model.N >= 1 << 15:
+                # large Schroedinger systems: matricized big-GEMM engine
+                from .ops.grouped_rhs import GroupedEngine
+                self.engine = GroupedEngine(model, dtype=s.dtype)
+            else:
+                self.engine = TensorEngine(model, dtype=s.dtype)
         else:
             self.engine = DenseEngine(model, dtype=s.dtype)
 
@@ -148,7 +154,9 @@ class Problem:
         # --- targets ---
         self.pure_target_id = None
         self.target = None          # (B, ...) target batch for gate/file targets
-        if s.target_type == "gate" and s.target_gate_full is not None:
+        if s.target_batch is not None:
+            self.target = np.asarray(s.target_batch).astype(npdt)
+        elif s.target_type == "gate" and s.target_gate_full is not None:
             V = np.asarray(s.target_gate_full, dtype=np.complex128)
             if self.lindblad:
                 tgt = np.einsum("ij,bjk,lk->bil", V, x0_np, V.conj())
@@ -186,13 +194,35 @@ class Problem:
         else:
             self.measure_weights = None
 
+        # --- linear-solver stiffness guard: the Neumann stage solve only
+        # converges for dt/2 * ||M|| < 1; estimate the dominant (diagonal)
+        # scale and fall back to GMRES beyond it (the reference always uses
+        # GMRES and warns when its residual exceeds 1e-3,
+        # timestepper.cpp:612-614). ---
+        self.linsolver = s.linsolver
+        self.gen_diag = getattr(self.engine, "gen_diag", lambda: None)()
+        lam = self._diag_scale_estimate()
+        if self.linsolver == "neumann" and 0.5 * dt * lam > 0.9:
+            if self.gen_diag is not None:
+                # Jacobi-preconditioned Neumann: exact elementwise inverse of
+                # the stiff diagonal, tiny off-diagonal contraction.
+                self.linsolver = "jacobi"
+            else:
+                import warnings
+                warnings.warn(
+                    f"Stiff step: dt/2*|H_diag|max = {0.5 * dt * lam:.2f} > 0.9; "
+                    "switching the IMR stage solve to GMRES.")
+                self.linsolver = "gmres"
+        # For the Lindblad matrix form the diag mask is (N, N); the flat
+        # interface of Dense/Tensor engines takes x as (B, N, N) there.
         self.step_fn = make_step_fn(self.engine.rhs, dt, s.timestepper,
-                                    s.linsolve_iters, s.linsolver)
+                                    s.linsolve_iters, self.linsolver,
+                                    gen_diag=self.gen_diag)
 
         # --- time-parallel feasibility (ops/propagator.py) ---
         dim_prop = self.N * self.N if self.lindblad else self.N
         feasible = (isinstance(self.engine, DenseEngine)
-                    and s.linsolver == "neumann"
+                    and self.linsolver == "neumann"
                     and s.ntime * dim_prop * dim_prop <= s.time_parallel_budget)
         if s.time_parallel == "auto":
             # Building propagators costs O(dim^2) per step vs O(dim*B) for
@@ -209,6 +239,18 @@ class Problem:
                 jnp.asarray(self.engine.stack), self.engine.Ls)
         else:
             self._superop_builder = None
+
+    def _diag_scale_estimate(self) -> float:
+        """Cheap host-side bound of the generator's dominant scale (rad/ns):
+        max |diag(H_d)|. For Kerr-dominated transmon models the drift
+        diagonal dominates the spectrum."""
+        from .ops.tensor_rhs import StructuredModel
+        m = self.model
+        if isinstance(m, StructuredModel):
+            from .utils.operators import drift_diagonal
+            d = drift_diagonal(m.dims, m.detune, m.selfkerr, m.crosskerr)
+            return float(np.abs(d).max())
+        return float(np.abs(np.diagonal(self.engine.stack[0])).max())
 
     # ------------------------------------------------------------------
     # state functionals
@@ -470,13 +512,74 @@ class Problem:
             params, params_ref, xT,
             acc.get("leak"), acc.get("jt"), acc.get("dpdm"), energy_int)
 
+    # ------------------------------------------------------------------
+    # big-array argument threading
+    #
+    # Small static arrays are embedded as jit constants from host memory.
+    # LARGE arrays (operator stacks, big initial-condition batches) must be
+    # passed as runtime ARGUMENTS instead: embedded constants bloat the
+    # compile payload (remote-compile backends reject them) and, if held on
+    # device, get fetched back at every trace. We temporarily swap tracers
+    # into the holder attributes during tracing.
+    # ------------------------------------------------------------------
+
+    _BIG_THRESHOLD = 1 << 16   # elements
+
+    def _big_slots(self):
+        slots = [(self, "x0"), (self, "target")]
+        eng = self.engine
+        for name in ("stack", "Ls", "stackL", "stackR", "cross_diag",
+                     "crossA", "crossB"):
+            if getattr(eng, name, None) is not None:
+                slots.append((eng, name))
+        out = []
+        for holder, name in slots:
+            arr = getattr(holder, name, None)
+            if arr is not None and np.size(arr) >= self._BIG_THRESHOLD:
+                out.append((holder, name))
+        return out
+
+    def _wrap_with_data(self, fn):
+        """Return a jitted fn(*args) with big arrays threaded as arguments
+        (device-resident between calls)."""
+        slots = self._big_slots()
+        if not slots:
+            return jax.jit(fn)
+        host_vals = {name: np.asarray(getattr(h, name)) for h, name in slots}
+        dev_vals = {name: jax.device_put(v) for name, v in host_vals.items()}
+
+        def traced(data, *args):
+            saved = {}
+            try:
+                for h, name in slots:
+                    saved[name] = getattr(h, name)
+                    setattr(h, name, data[name])
+                return fn(*args)
+            finally:
+                for h, name in slots:
+                    setattr(h, name, saved[name])
+
+        jf = jax.jit(traced)
+
+        def call(*args):
+            return jf(dev_vals, *args)
+
+        return call
+
     # compiled entry points -------------------------------------------------
 
     def build_value_and_grad(self):
-        return jax.jit(jax.value_and_grad(self.objective, has_aux=True))
+        return self._wrap_with_data(
+            jax.value_and_grad(self.objective, has_aux=True))
 
     def build_objective(self):
-        return jax.jit(self.objective)
+        return self._wrap_with_data(self.objective)
+
+    def build_propagate_trajectory(self):
+        return self._wrap_with_data(self.propagate_trajectory)
+
+    def build_propagate_final(self):
+        return self._wrap_with_data(self.propagate_final)
 
     def build_ensemble_value_and_grad(self):
         """value_and_grad vmapped over an ensemble of control vectors
@@ -487,7 +590,7 @@ class Problem:
         ensembles, population-based search) propagate simultaneously, turning
         the small per-problem matmuls into large batched GEMMs."""
         vg = jax.value_and_grad(self.objective, has_aux=True)
-        return jax.jit(jax.vmap(vg, in_axes=(0, None)))
+        return self._wrap_with_data(jax.vmap(vg, in_axes=(0, None)))
 
     def propagate_final(self, params):
         """Forward-only propagation; returns final states (B, ...)."""

@@ -77,30 +77,47 @@ def is_guard_level(i: int, nlevels, nessential) -> bool:
     return False
 
 
+def _levels_of_all(dims) -> list:
+    """Per-oscillator level arrays for ALL flat indices, vectorized:
+    levels[k][i] = level of oscillator k at flat index i."""
+    n = int(np.prod(dims, dtype=np.int64))
+    idx = np.arange(n, dtype=np.int64)
+    out = []
+    for k in range(len(dims)):
+        post = int(np.prod(dims[k + 1:], dtype=np.int64)) if k + 1 < len(dims) else 1
+        out.append((idx // post) % dims[k])
+    return out
+
+
 def ess_to_full_map(nlevels, nessential) -> np.ndarray:
     """Vector of full-dim indices for all essential-dim indices (len N_e)."""
-    ness = int(np.prod(nessential, dtype=np.int64))
-    return np.array(
-        [map_ess_to_full(i, nlevels, nessential) for i in range(ness)],
-        dtype=np.int64,
-    )
+    levels = _levels_of_all(nessential)
+    out = np.zeros(int(np.prod(nessential, dtype=np.int64)), dtype=np.int64)
+    for k in range(len(nlevels)):
+        post = int(np.prod(nlevels[k + 1:], dtype=np.int64)) if k + 1 < len(nlevels) else 1
+        out += levels[k] * post
+    return out
 
 
 def essential_mask(nlevels, nessential) -> np.ndarray:
     """Boolean mask over full-dim indices: True where index is essential."""
-    n = int(np.prod(nlevels, dtype=np.int64))
-    return np.array(
-        [is_essential(i, nlevels, nessential) for i in range(n)], dtype=bool
-    )
+    levels = _levels_of_all(nlevels)
+    mask = np.ones(int(np.prod(nlevels, dtype=np.int64)), dtype=bool)
+    for k, ne in enumerate(nessential):
+        mask &= levels[k] < ne
+    return mask
 
 
 def guard_mask(nlevels, nessential) -> np.ndarray:
     """Boolean mask over full-dim indices: True where index is a guard level
-    (used by the leakage-prevention penalty, timestepper.cpp:272-295)."""
-    n = int(np.prod(nlevels, dtype=np.int64))
-    return np.array(
-        [is_guard_level(i, nlevels, nessential) for i in range(n)], dtype=bool
-    )
+    — the LAST, non-essential level of at least one oscillator (used by the
+    leakage-prevention penalty, timestepper.cpp:272-295)."""
+    levels = _levels_of_all(nlevels)
+    mask = np.zeros(int(np.prod(nlevels, dtype=np.int64)), dtype=bool)
+    for k, (nl, ne) in enumerate(zip(nlevels, nessential)):
+        if nl - 1 >= ne:
+            mask |= levels[k] == nl - 1
+    return mask
 
 
 def lift_matrix_ess_to_full(V_ess: np.ndarray, nlevels, nessential) -> np.ndarray:

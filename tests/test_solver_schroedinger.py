@@ -114,3 +114,25 @@ def test_time_dependent_control_vs_scipy():
     psi_ref = sol.y[:N, -1] + 1j * sol.y[N:, -1]
     err = np.abs(np.asarray(xT)[0] - psi_ref).max()
     assert err < 1e-5, err
+
+
+def test_gmres_matches_neumann():
+    """The GMRES stage solve must agree with the converged Neumann solve in
+    the non-stiff regime."""
+    from quandary_tpu.ops.steppers import make_step_fn
+
+    model = build_standard_model(
+        nlevels=[3, 2], freq01_ghz=[4.1, 5.0], rotfreq_ghz=[4.0, 4.9],
+        selfkerr_ghz=[0.22, 0.1], crosskerr_ghz=[0.01], jkl_ghz=[0.002],
+    )
+    engine = DenseEngine(model)
+    dt = 0.02
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.normal(size=model.K))
+    c = c.at[0].set(1.0)
+    x = jnp.asarray(rng.normal(size=(2, model.N)) + 1j * rng.normal(size=(2, model.N)))
+    sn = make_step_fn(engine.rhs, dt, "IMR", 25, "neumann")
+    sg = make_step_fn(engine.rhs, dt, "IMR", 25, "gmres")
+    yn = np.asarray(sn(x, c[None]))
+    yg = np.asarray(sg(x, c[None]))
+    assert np.abs(yn - yg).max() < 1e-9, np.abs(yn - yg).max()

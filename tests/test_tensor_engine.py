@@ -91,3 +91,31 @@ def test_problem_with_tensor_engine_matches_dense():
         outs.append((float(J), np.asarray(g)))
     assert abs(outs[0][0] - outs[1][0]) < 1e-11
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-9, atol=1e-13)
+
+
+def test_grouped_vs_tensor_rhs():
+    """GroupedEngine (matricized big-GEMM path) == TensorEngine for a
+    Schroedinger system with cross-group crossKerr and JC terms."""
+    from quandary_tpu.ops.grouped_rhs import GroupedEngine
+
+    args = dict(
+        nlevels=[3, 4, 2, 3],
+        freq01_ghz=[4.1, 5.0, 3.3, 4.4],
+        rotfreq_ghz=[4.0, 4.9, 3.35, 4.38],
+        selfkerr_ghz=[0.22, 0.1, 0.15, 0.18],
+        crosskerr_ghz=[0.01, 0.002, 0.005, 0.003, 0.004, 0.006],
+        jkl_ghz=[0.004, 0.0, 0.006, 0.002, 0.0, 0.003],
+    )
+    m = build_structured_model(**args)
+    tensor = TensorEngine(m)
+    grouped = GroupedEngine(m, dtype=jnp.complex128)
+
+    rng = np.random.default_rng(2)
+    N = m.N
+    x = jnp.asarray(rng.normal(size=(2, N)) + 1j * rng.normal(size=(2, N)))
+    c = jnp.asarray(rng.normal(size=m.K))
+    c = c.at[0].set(1.0)
+    y1 = np.asarray(tensor.rhs(c, x))
+    y2 = np.asarray(grouped.rhs(c, x))
+    err = np.abs(y1 - y2).max() / np.abs(y1).max()
+    assert err < 1e-12, err
