@@ -33,6 +33,24 @@ class LbfgsbResult:
     history: List[dict]
 
 
+def save_state(path: str, x, s_list, y_list, it: int) -> None:
+    """Checkpoint the optimizer state (iterate + L-BFGS curvature memory) —
+    richer than the reference's params-only warm start
+    (control_initialization0 = file, optimproblem.cpp:167-175)."""
+    np.savez(path, x=x, it=it,
+             s=np.asarray(s_list) if s_list else np.zeros((0, x.size)),
+             y=np.asarray(y_list) if y_list else np.zeros((0, x.size)))
+
+
+def load_state(path: str):
+    d = np.load(path)
+    s_list = [s for s in d["s"]]
+    y_list = [y for y in d["y"]]
+    rho_list = [1.0 / float(np.dot(s, y)) for s, y in zip(s_list, y_list)]
+    return dict(x=d["x"], it=int(d["it"]), s_list=s_list, y_list=y_list,
+                rho_list=rho_list)
+
+
 def _project(x, lb, ub):
     return np.minimum(np.maximum(x, lb), ub)
 
@@ -77,6 +95,9 @@ def minimize_lbfgsb(
     ls_max: int = 30,
     c1: float = 1e-4,
     callback: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_state: Optional[dict] = None,
 ) -> LbfgsbResult:
     """Minimize f with box constraints.
 
@@ -86,10 +107,15 @@ def minimize_lbfgsb(
     which the caller implements inside the callback).
     """
     x = _project(np.asarray(x0, dtype=np.float64), lb, ub)
-    f, g, aux = fun_and_grad(x)
     s_list: List[np.ndarray] = []
     y_list: List[np.ndarray] = []
     rho_list: List[float] = []
+    if resume_state is not None:
+        x = _project(np.asarray(resume_state["x"], dtype=np.float64), lb, ub)
+        s_list = list(resume_state["s_list"])
+        y_list = list(resume_state["y_list"])
+        rho_list = list(resume_state["rho_list"])
+    f, g, aux = fun_and_grad(x)
 
     pg = _projected_grad(x, g, lb, ub)
     gnorm0 = np.linalg.norm(pg)
@@ -156,6 +182,8 @@ def minimize_lbfgsb(
 
         step = t
         x, f, g, aux = x_new, f_new, g_new, aux_new
+        if checkpoint_path and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            save_state(checkpoint_path, x, s_list, y_list, it + 1)
 
     return LbfgsbResult(x=x, f=f, g=g, niter=it, converged_reason=reason,
                         history=history)

@@ -1,0 +1,64 @@
+"""AD Hessian vs FD Hessian + symmetry (TEST_FD_HESS analog), and the
+physics sanity checks (SANITY_CHECK analog)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from quandary_tpu.models.hamiltonian import build_standard_model
+from quandary_tpu.optim.hessian import fd_hessian, hessian, hessian_eigen
+from quandary_tpu.problem import Problem, Setup
+from quandary_tpu.utils.sanity import (check_density_trajectory,
+                                       check_state_trajectory, is_unitary)
+from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
+
+
+def _small_problem(lindblad=False):
+    T, ntime = 3.0, 20
+    model = build_standard_model(
+        nlevels=[2], freq01_ghz=[4.1], rotfreq_ghz=[4.08], selfkerr_ghz=[0.2],
+        decay_time=[40.0] if lindblad else [], dephase_time=[30.0] if lindblad else [],
+        lindblad=lindblad)
+    osc = OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=4, tstart=0.0, tstop=T),),
+        carrier_freqs=(0.0,))
+    setup = Setup(
+        model=model, nessential=(2,), ntime=ntime, dt=T / ntime,
+        oscillators=(osc,), ground_freqs_radns=(1.0,),
+        initcond_type="pure", pure_levels=(0,),
+        target_type="pure", pure_target_levels=(1,),
+        objective_type="Jfrobenius", gamma_tik=1e-4)
+    return Problem(setup), setup
+
+
+def test_hessian_fd_and_symmetry():
+    prob, setup = _small_problem()
+    rng = np.random.default_rng(0)
+    params = rng.normal(size=setup.nparams) * 0.02
+    H = hessian(prob, params)
+    assert np.abs(H - H.T).max() < 1e-9          # symmetry (main.cpp TEST_FD_HESS)
+    Hfd = fd_hessian(prob, params, eps=1e-5)
+    assert np.abs(H - Hfd).max() < 1e-5 * max(1.0, np.abs(H).max())
+    w, V = hessian_eigen(prob, params)
+    assert w.shape == (setup.nparams,)
+    assert np.all(np.diff(w) >= 0)
+
+
+def test_sanity_checks():
+    import jax.numpy as jnp
+
+    prob, setup = _small_problem()
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(rng.normal(size=setup.nparams) * 0.02)
+    traj = np.asarray(prob.propagate_trajectory(params))
+    res = check_state_trajectory(traj)
+    assert res["ok"], res
+
+    prob2, setup2 = _small_problem(lindblad=True)
+    traj2 = np.asarray(prob2.propagate_trajectory(
+        jnp.asarray(rng.normal(size=setup2.nparams) * 0.02)))
+    res2 = check_density_trajectory(traj2[:, 0])
+    assert res2["ok"], res2
+
+    from quandary_tpu.models import gates
+    assert is_unitary(gates.qft(5))
+    assert not is_unitary(np.ones((3, 3)))

@@ -72,3 +72,41 @@ def test_two_qubit_cnot_progress():
     first_cost = res.history[0].cost
     assert res.history[-1].cost < 0.2 * first_cost, \
         (first_cost, res.history[-1].cost, res.reason)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Optimizer state checkpoint/resume: resuming from a checkpoint must
+    continue productively (objective keeps decreasing)."""
+    from quandary_tpu.optim.lbfgsb import load_state, minimize_lbfgsb, save_state
+
+    freq01 = [4.10595]
+    model = build_standard_model(
+        nlevels=[2], freq01_ghz=freq01, rotfreq_ghz=freq01, selfkerr_ghz=[0.2198])
+    T, ntime = 100.0, 500
+    osc = OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=15, tstart=0.0, tstop=T),),
+        carrier_freqs=(0.0,))
+    setup = Setup(
+        model=model, nessential=(2,), ntime=ntime, dt=T / ntime,
+        oscillators=(osc,), ground_freqs_radns=(2 * np.pi * freq01[0],),
+        initcond_type="pure", pure_levels=(0,),
+        target_type="pure", pure_target_levels=(1,),
+        objective_type="Jfrobenius", gamma_tik=1e-8)
+    prob = Problem(setup)
+    import jax
+    vg = prob.build_value_and_grad()
+
+    def fg(x):
+        (f, aux), g = vg(jnp.asarray(x), jnp.zeros(setup.nparams))
+        return float(f), np.asarray(g, dtype=np.float64), aux
+
+    rng = np.random.default_rng(7)
+    x0 = rng.uniform(-1, 1, setup.nparams) * 0.005
+    lb, ub = build_bounds(setup.oscillators, [[1.0]])
+    ckpt = str(tmp_path / "opt.npz")
+    res1 = minimize_lbfgsb(fg, x0, lb, ub, maxiter=5,
+                           checkpoint_path=ckpt, checkpoint_every=1)
+    state = load_state(ckpt)
+    assert state["it"] >= 1
+    res2 = minimize_lbfgsb(fg, x0, lb, ub, maxiter=10, resume_state=state)
+    assert res2.f <= res1.f + 1e-12
