@@ -62,7 +62,9 @@ def build_step_matrices_dense(stack, C, dt: float, timestepper: str,
     S_total = None
     Ms = M.reshape(ntime, nstages, N, N)
     for i, g in enumerate(gammas):
-        h = g * dt
+        # python float: numpy scalars are strong-typed and would upcast
+        # complex64 under jax_enable_x64
+        h = float(g) * float(dt)
         Mi = Ms[:, i]
         if explicit:
             Si = eye + h * Mi

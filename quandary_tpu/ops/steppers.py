@@ -148,7 +148,9 @@ def make_step_fn(rhs: Callable, dt: float, timestepper: str = "IMR",
 
     def step(x, c_stages):
         for i, g in enumerate(gammas):
-            h = g * dt
+            # python float: numpy scalars are strong-typed and would upcast
+            # complex64 states to complex128 under jax_enable_x64
+            h = float(g) * float(dt)
             c = c_stages[i]
             if explicit:
                 x = x + h * rhs(c, x)
