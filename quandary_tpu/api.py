@@ -611,8 +611,67 @@ class Quandary:
         return ts_out.tolist(), pt, qt, infidelity, expected, population
 
     def get_results(self, *, datadir="./", ignore_failure=False):
-        """Parse a reference-format output directory (quandary.py:765-893)
-        — kept for migration compatibility."""
-        raise NotImplementedError(
-            "quandary_tpu runs in-process; results are returned directly. "
-            "Use simulate()/optimize() return values or the io module readers.")
+        """Parse a reference-format output directory (quandary.py:765-893):
+        works on directories written by this framework OR by the reference
+        binary (migration compatibility). Returns the reference's 9-tuple
+        (time, pt, qt, uT, expectedEnergy, population, pcof, infid, hist)."""
+        datadir = resolve_datadir(datadir)
+
+        def _load(fname, **kw):
+            try:
+                return np.loadtxt(os.path.join(datadir, fname), **kw)
+            except Exception:
+                if not ignore_failure:
+                    print(f"Can't read {fname} from {datadir}")
+                return None
+
+        pcof = _load("params.dat")
+        pcof = pcof.astype(float) if pcof is not None else []
+
+        hist = _load("optim_history.dat")
+        if hist is None:
+            hist = np.zeros((1, 11))
+        if hist.ndim == 1:
+            hist = hist[None, :]
+        infid_last = 1.0 - hist[-1, 4]
+        optim_hist = {
+            "Iters": hist[:, 0], "Gradient": hist[:, 2], "Fidelity": hist[:, 4],
+            "Cost": hist[:, 5], "Tikhonov": hist[:, 6],
+            "Penalty-Leakage": hist[:, 7], "Penalty-StateVariation": hist[:, 8],
+            "Penalty-TotalEnergy": hist[:, 9],
+        }
+
+        ninits = self._ninit if not self._lindblad_solver else int(np.sqrt(self._ninit))
+        expectedEnergy = [[] for _ in range(len(self.Ne))]
+        population = [[] for _ in range(len(self.Ne))]
+        for iosc in range(len(self.Ne)):
+            for iinit in range(ninits):
+                iid = iinit if not self._lindblad_solver else iinit * ninits + iinit
+                x = _load(f"expected{iosc}.iinit{iid:04d}.dat")
+                if x is not None:
+                    expectedEnergy[iosc].append(x[:, 1])
+                x = _load(f"population{iosc}.iinit{iid:04d}.dat")
+                if x is not None:
+                    population[iosc].append(x[:, 1:].transpose())
+
+        Ntot = [i + j for i, j in zip(self.Ne, self.Ng)]
+        ndim = int(np.prod(Ntot)) if not self._lindblad_solver else int(np.prod(Ntot)) ** 2
+        uT = np.zeros((ndim, self._ninit), dtype=complex)
+        for iinit in range(self._ninit):
+            xre = _load(f"rho_Re.iinit{iinit:04d}.dat")
+            xim = _load(f"rho_Im.iinit{iinit:04d}.dat")
+            if xre is not None:
+                uT[:, iinit] = np.atleast_2d(xre)[-1, 1:ndim + 1]
+            if xim is not None:
+                uT[:, iinit] += 1j * np.atleast_2d(xim)[-1, 1:ndim + 1]
+
+        pt, qt, time = [], [], []
+        for iosc in range(len(self.Ne)):
+            x = _load(f"control{iosc}.dat")
+            if x is None:
+                x = np.zeros((1, 4))
+            time = x[:, 0]
+            pt.append([v * 1e3 for v in x[:, 1]])
+            qt.append([v * 1e3 for v in x[:, 2]])
+
+        return time, pt, qt, uT, expectedEnergy, population, pcof, infid_last, optim_hist

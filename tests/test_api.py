@@ -123,3 +123,22 @@ def test_swap02_three_oscillators(tmp_path):
     assert len(q.optim_hist["Cost"]) >= 2
     assert q.optim_hist["Cost"][-1] < q.optim_hist["Cost"][0] - 1e-3
     assert len(pt) == 3 and len(population) == 3 and len(population[0]) == 8
+
+
+def test_get_results_roundtrip(tmp_path):
+    """get_results parses reference-format output directories (written by
+    this framework or the reference binary) back into the 9-tuple."""
+    q = Quandary(
+        Ne=[2], Ng=[0], freq01=[4.1], selfkerr=[0.2],
+        T=10.0, randomize_init_ctrl=False, initctrl_MHz=2.0,
+        initialcondition="pure, 0", optim_target="pure, 1",
+        costfunction="Jfrobenius", verbose=False,
+    )
+    d = str(tmp_path / "rt")
+    t, pt, qt, infid, energy, population = q.simulate(datadir=d)
+    time2, pt2, qt2, uT2, energy2, pop2, pcof2, infid2, hist2 = q.get_results(datadir=d)
+    np.testing.assert_allclose(time2, t, atol=1e-8)
+    np.testing.assert_allclose(pt2[0], pt[0], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(uT2)[:, 0], np.asarray(q.uT)[:, 0],
+                               rtol=1e-6, atol=1e-9)
+    assert abs(infid2 - infid) < 1e-10
