@@ -74,6 +74,12 @@ class Setup:
     gamma_penalty_variation: float = 0.0
 
     dtype: object = jnp.complex128
+    # Adjoint mode for the sequential-scan path: 'remat' stores one state
+    # per step and recomputes in-step work (storeFWD analog); 'reversible'
+    # recomputes states by backward integration (O(1) state memory, closed
+    # systems with IMR-family steppers only); 'auto' picks reversible when
+    # legal. (ops/reversible.py)
+    adjoint: str = "auto"
     # Time-parallel propagation (ops/propagator.py): 'auto' enables it for
     # small dense systems where ntime * dim^2 fits comfortably in memory;
     # True forces, False disables (sequential lax.scan).
@@ -458,18 +464,48 @@ class Problem:
     def _objective_scan(self, params, params_ref):
         s = self.setup
         C = self.coeff_rows_mid(params)
-
-        # energy penalty: controls at the step stop times (timestepper.cpp:444-455)
-        use_energy = s.gamma_penalty_energy > 1e-13
-        if use_energy:
-            p_stop, q_stop = eval_controls(self.plan_stop, params, s.pipulses)
-            energy_int = jnp.sum(p_stop ** 2 + q_stop ** 2) / s.ntime
-        else:
-            energy_int = jnp.zeros((), dtype=self.rdtype)
+        energy_int = self._energy_integral(params)
 
         use_leak = self.has_guard and s.gamma_penalty > 1e-13
         use_jt = self.jt_weight is not None and s.gamma_penalty > 1e-13
         use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
+
+        # Reversible O(1)-memory adjoint: closed systems, IMR family, no
+        # multi-state penalties (dpdm needs a state history).
+        use_reversible = (
+            s.adjoint in ("auto", "reversible")
+            and not self.lindblad and not use_dpdm
+            and s.timestepper.upper() in ("IMR", "IMR4", "IMR8"))
+        if use_reversible:
+            from .ops.reversible import make_reversible_propagate
+            _bwd_raw = make_step_fn(self.engine.rhs, -s.dt, s.timestepper,
+                                    s.linsolve_iters, self.linsolver,
+                                    gen_diag=self.gen_diag)
+            # Inverse of a composed step applies the stages in REVERSE order
+            # with negated dt; the gamma sequences are palindromic, but the
+            # per-stage coefficient rows (midpoint times) are not — flip them.
+            step_bwd = lambda x, c: _bwd_raw(x, c[::-1])
+
+            def penalty_fn(x, extra):
+                out = {}
+                if use_leak:
+                    d2 = jnp.abs(self._diag(x)) ** 2
+                    out["leak"] = jnp.sum(
+                        d2 * jnp.asarray(self.guard_mask)[None, :], axis=1) / s.ntime
+                if use_jt:
+                    out["jt"] = extra["wt"] * self.eval_J_per_state(x) * s.dt
+                return out
+
+            prop = make_reversible_propagate(
+                self.step_fn, step_bwd,
+                penalty_fn if (use_leak or use_jt) else None)
+            extras = {"wt": jnp.asarray(self.jt_weight)} if use_jt else {}
+            xT, pen = prop(jnp.asarray(self.x0, dtype=s.dtype), C, extras)
+            return self._assemble_objective(
+                params, params_ref, xT,
+                pen.get("leak") if (use_leak or use_jt) else None,
+                pen.get("jt") if (use_leak or use_jt) else None,
+                None, energy_int)
 
         B = self.ninit
         post_init = {}
