@@ -142,3 +142,45 @@ def test_get_results_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(uT2)[:, 0], np.asarray(q.uT)[:, 0],
                                rtol=1e-6, atol=1e-9)
     assert abs(infid2 - infid) < 1e-10
+
+
+def test_spline0_piecewise_constant(tmp_path):
+    """spline_order=0 optimization (mirror of
+    tests/python/test_example_piecewise_constant_controls): state transfer
+    with piecewise-constant pulses + total-variation penalty."""
+    q = Quandary(
+        Ne=[2], Ng=[1], freq01=[4.10595], selfkerr=[0.2198],
+        maxctrl_MHz=12.0, initctrl_MHz=4.0, spline_order=0,
+        initialcondition=[1.0, 0.0],
+        targetstate=[0.0, 1.0],
+        T=80.0, rand_seed=2345, maxiter=100, gamma_variation=0.001,
+        verbose=False,
+    )
+    t, pt, qt, infid, energy, population = q.optimize(datadir=str(tmp_path / "pc"))
+    assert infid < 1e-3, infid
+    # piecewise-constant pulses: many exactly-repeated consecutive samples
+    pvals = np.asarray(pt[0])
+    rep = np.mean(np.abs(np.diff(pvals)) < 1e-12)
+    assert rep > 0.5, rep
+
+
+def test_cnot_with_guard_levels(tmp_path):
+    """CNOT with one guard level per qubit + leakage penalty (mirror of
+    tests/python/test_example_cnot_withguardlevels, abbreviated)."""
+    freq01 = [4.80595, 4.8601]
+    unitary = np.identity(4)
+    unitary[2:, 2:] = [[0, 1], [1, 0]]
+    favg = sum(freq01) / 2
+    q = Quandary(
+        Ne=[2, 2], Ng=[1, 1], freq01=freq01, rotfreq=[favg, favg],
+        selfkerr=[0.2198, 0.2252], Jkl=[0.005],
+        T=140.0, targetgate=unitary, rand_seed=1234, maxiter=25,
+        gamma_leakage=0.1, verbose=False,
+    )
+    t, pt, qt, infid, energy, population = q.optimize(datadir=str(tmp_path / "cg"))
+    hist = q.optim_hist
+    assert hist["Cost"][-1] < 0.6 * hist["Cost"][0], (hist["Cost"][0], hist["Cost"][-1])
+    # leakage penalty is being computed (guard levels present)
+    assert np.all(np.asarray(hist["Penalty-Leakage"]) >= 0.0)
+    # populations per oscillator have 3 levels (guard included)
+    assert population[0][0].shape[0] == 3
