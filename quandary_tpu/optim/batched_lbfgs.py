@@ -1,0 +1,135 @@
+"""Fully on-device batched L-BFGS-B: optimize MANY control candidates in
+parallel, entirely inside one jit — no host round-trips per iteration.
+
+This is the optimizer counterpart of the ensemble axis: multi-start
+optimization where E candidates each run a projected L-BFGS with fixed
+iteration count, vmapped over the ensemble. The line search is itself
+parallel: all backtracking step lengths are evaluated in ONE batched
+objective call and the first Armijo-satisfying one is selected — on a TPU
+the extra candidates ride along in the same GEMMs.
+
+The reference has no analog (its TAO loop is host-side and single-problem);
+this is how a population of pulse candidates is refined at chip speed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _two_loop(g, S, Y, rho, count, m):
+    """L-BFGS two-loop for one candidate with a circular (m, n) history.
+    Slot (count-1-j) % m is the j-th newest pair; slots j >= count masked."""
+    q = g
+    alphas = []
+    for j in range(m):
+        idx = (count - 1 - j) % m
+        valid = j < count
+        a = jnp.where(valid, rho[idx] * jnp.dot(S[idx], q), 0.0)
+        q = q - a * Y[idx]
+        alphas.append((idx, valid, a))
+    newest = (count - 1) % m
+    sy = jnp.dot(S[newest], Y[newest])
+    yy = jnp.dot(Y[newest], Y[newest])
+    gamma = jnp.where(count > 0, sy / jnp.maximum(yy, 1e-300), 1.0)
+    q = q * gamma
+    for idx, valid, a in reversed(alphas):
+        b = jnp.where(valid, rho[idx] * jnp.dot(Y[idx], q), 0.0)
+        q = q + jnp.where(valid, a - b, 0.0) * S[idx]
+    return q
+
+
+def batched_lbfgsb(
+    objective: Callable,
+    grad: Callable,
+    x0s,                       # (E, n)
+    lb, ub,                    # (n,)
+    *,
+    iters: int = 50,
+    history: int = 8,
+    ls_lengths: int = 10,
+    c1: float = 1e-4,
+):
+    """Run `iters` projected L-BFGS iterations for every candidate.
+
+    objective(x) -> scalar; grad(x) -> (n,). Both are vmapped internally.
+    Returns (x_best (E, n), f_best (E,), f_trace (iters+1, E)).
+    """
+    lb = jnp.asarray(lb)
+    ub = jnp.asarray(ub)
+    m = history
+    E, n = x0s.shape
+
+    obj_b = jax.vmap(objective)
+    grad_b = jax.vmap(grad)
+    ts = 0.5 ** jnp.arange(ls_lengths)           # (L,)
+
+    def project(x):
+        return jnp.clip(x, lb, ub)
+
+    def pg_one(x, g):
+        at_lb = (x <= lb + 1e-12) & (g > 0)
+        at_ub = (x >= ub - 1e-12) & (g < 0)
+        return jnp.where(at_lb | at_ub, 0.0, g)
+
+    x = jax.vmap(project)(x0s)
+    f = obj_b(x)
+    g = grad_b(x)
+    S = jnp.zeros((E, m, n), x.dtype)
+    Y = jnp.zeros((E, m, n), x.dtype)
+    rho = jnp.zeros((E, m), x.dtype)
+    count = jnp.zeros((E,), jnp.int32)
+    xbest, fbest = x, f
+
+    def iteration(state, _):
+        x, f, g, S, Y, rho, count, xbest, fbest = state
+
+        pg = jax.vmap(pg_one)(x, g)
+        d = -jax.vmap(_two_loop, in_axes=(0, 0, 0, 0, 0, None))(
+            g, S, Y, rho, count, m)
+        # descent safeguard: fall back to -pg
+        desc = jnp.einsum("en,en->e", d, pg)
+        d = jnp.where((desc < 0)[:, None], d, -pg)
+
+        # parallel backtracking: all candidate steps at once
+        xc = jax.vmap(project)(x[:, None, :] + ts[None, :, None] * d[:, None, :])
+        fc = obj_b(xc.reshape(E * ls_lengths, n)).reshape(E, ls_lengths)
+        dx = xc - x[:, None, :]
+        armijo = fc <= f[:, None] + c1 * jnp.einsum("en,eln->el", g, dx)
+        any_ok = jnp.any(armijo, axis=1)
+        first = jnp.argmax(armijo, axis=1)            # first True (or 0)
+        pick = jnp.where(any_ok, first, 0)
+        x_new = jnp.where(any_ok[:, None],
+                          jnp.take_along_axis(xc, pick[:, None, None],
+                                              axis=1)[:, 0, :], x)
+        f_new = jnp.where(any_ok,
+                          jnp.take_along_axis(fc, pick[:, None], axis=1)[:, 0], f)
+        g_new = grad_b(x_new)
+
+        s = x_new - x
+        y = g_new - g
+        sy = jnp.einsum("en,en->e", s, y)
+        good = any_ok & (sy > 1e-12)
+        slot = count % m
+        S = jnp.where(good[:, None, None],
+                      S.at[jnp.arange(E), slot].set(s), S)
+        Y = jnp.where(good[:, None, None],
+                      Y.at[jnp.arange(E), slot].set(y), Y)
+        rho = jnp.where(good[:, None],
+                        rho.at[jnp.arange(E), slot].set(
+                            1.0 / jnp.where(good, sy, 1.0)), rho)
+        count = count + good.astype(jnp.int32)
+
+        better = f_new < fbest
+        xbest = jnp.where(better[:, None], x_new, xbest)
+        fbest = jnp.where(better, f_new, fbest)
+        return (x_new, f_new, g_new, S, Y, rho, count, xbest, fbest), f_new
+
+    state0 = (x, f, g, S, Y, rho, count, xbest, fbest)
+    (x, f, g, S, Y, rho, count, xbest, fbest), ftrace = jax.lax.scan(
+        iteration, state0, None, length=iters)
+    return xbest, fbest, jnp.concatenate([state0[1][None], ftrace], axis=0)
