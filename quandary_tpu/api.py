@@ -427,11 +427,47 @@ class Quandary:
         return self._run(pcof0=pcof0, runtype="simulation", datadir=datadir)
 
     def optimize(self, *, pcof0=[], pt0=[], qt0=[], maxcores=-1,
-                 datadir="./run_dir", **_ignored):
-        """Run the optimization (quandary.py:351-395)."""
+                 datadir="./run_dir", multistart: int = 1, **_ignored):
+        """Run the optimization (quandary.py:351-395).
+
+        multistart > 1 (TPU-native extension): refine `multistart` random
+        starting points IN PARALLEL on-device with the batched L-BFGS
+        (optim/batched_lbfgs.py), then polish the best candidate with the
+        host optimizer. Requires rand_seed for reproducibility."""
         if len(pt0) > 0 and len(qt0) > 0:
             return self._run_sampled(pt0, qt0, runtype="optimization", datadir=datadir)
+        if multistart > 1 and len(pcof0) == 0:
+            pcof0 = self._multistart_best(multistart)
         return self._run(pcof0=pcof0, runtype="optimization", datadir=datadir)
+
+    def _multistart_best(self, E: int):
+        import jax
+        import jax.numpy as jnp
+        from .optim.batched_lbfgs import batched_lbfgsb
+        from .optim.driver import build_bounds
+
+        setup = self._build_setup()
+        problem = Problem(setup)
+        rng = np.random.default_rng(self.rand_seed)
+        scale = float(np.atleast_1d(self.initctrl_MHz)[0]) / 1000.0 * 2 * np.pi / np.sqrt(2)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (E, setup.nparams)) * scale)
+        bounds_ghz = [[m / 1000.0] for m in (np.atleast_1d(self.maxctrl_MHz)
+                                             if len(np.atleast_1d(self.maxctrl_MHz)) > 0
+                                             else [1e15] * len(self.Ne))]
+        lb, ub = build_bounds(setup.oscillators, bounds_ghz)
+        ref = jnp.zeros(setup.nparams)
+
+        def objective(x):
+            J, _ = problem.objective(x, ref)
+            return J
+
+        xbest, fbest, _ = jax.jit(lambda xs: batched_lbfgsb(
+            objective, jax.grad(objective), xs, lb, ub, iters=30))(x0s)
+        best = int(jnp.argmin(fbest))
+        if self.verbose:
+            print(f"multistart: candidate objectives {np.round(np.asarray(fbest), 6)}"
+                  f" -> picking {best}")
+        return np.asarray(xbest[best])
 
     def evalControls(self, *, pcof0=[], points_per_ns=1, datadir="./run_dir", **_ignored):
         """Evaluate the control pulses on a given sample rate

@@ -184,3 +184,17 @@ def test_cnot_with_guard_levels(tmp_path):
     assert np.all(np.asarray(hist["Penalty-Leakage"]) >= 0.0)
     # populations per oscillator have 3 levels (guard included)
     assert population[0][0].shape[0] == 3
+
+
+def test_multistart_optimize(tmp_path):
+    """multistart: on-device parallel refinement of several random starts,
+    then host polishing of the winner."""
+    q = Quandary(
+        Ne=[2], freq01=[4.10595], selfkerr=[0.2198], maxctrl_MHz=8.0,
+        initialcondition="pure, 0", optim_target="pure, 1",
+        costfunction="Jfrobenius", T=60.0, rand_seed=11, maxiter=25,
+        verbose=False,
+    )
+    t, pt, qt, infid, energy, population = q.optimize(
+        datadir=str(tmp_path / "ms"), multistart=4)
+    assert infid < 1e-4, infid
