@@ -212,11 +212,25 @@ class Quandary:
                     N=Ntot, freq01=self.freq01, selfkerr=self.selfkerr,
                     crosskerr=self.crosskerr, Jkl=self.Jkl, rotfreq=self.rotfreq,
                     verbose=self.verbose)
-            self.carrier_frequency, _ = get_resonances(
-                Ne=self.Ne, Ng=self.Ng, Hsys=np.asarray(self.Hsys),
-                Hc_re=self.Hc_re, Hc_im=self.Hc_im, rotfreq=self.rotfreq,
-                verbose=self.verbose, cw_amp_thres=self.cw_amp_thres,
-                cw_prox_thres=self.cw_prox_thres, stdmodel=self.standardmodel)
+            try:
+                self.carrier_frequency, _ = get_resonances(
+                    Ne=self.Ne, Ng=self.Ng, Hsys=np.asarray(self.Hsys),
+                    Hc_re=self.Hc_re, Hc_im=self.Hc_im, rotfreq=self.rotfreq,
+                    verbose=self.verbose, cw_amp_thres=self.cw_amp_thres,
+                    cw_prox_thres=self.cw_prox_thres, stdmodel=self.standardmodel)
+            except ValueError as e:
+                # degenerate Hamiltonian spectra defeat the identity-ordering
+                # of the eigenvector matrix (same failure as the reference's
+                # eigen_and_reorder, quandary.py:957-959); fall back to a
+                # single zero-frequency carrier and tell the user to supply
+                # carrier_frequency explicitly.
+                import warnings
+                warnings.warn(
+                    f"Automatic carrier-frequency resonance analysis failed "
+                    f"({e}); falling back to carrier_frequency=[[0.0]] per "
+                    "oscillator. Pass carrier_frequency explicitly for "
+                    "degenerate systems.")
+                self.carrier_frequency = [[0.0] for _ in range(len(self.freq01))]
 
         if self.verbose:
             print("Final time: ", self.T, "ns, Number of timesteps: ", self.nsteps,
