@@ -152,10 +152,36 @@ def _run_optim_case(tmp_path, name):
     return run(str(work / f"{name}.cfg"), quiet=True)
 
 
+def _golden_first_row(name):
+    path = os.path.join(REF, name, "base", "optim_history.dat")
+    rows = np.loadtxt(path)
+    return rows[0] if rows.ndim == 2 else rows
+
+
+def _check_iter0_row(datadir, name, rtol=1e-6):
+    """Iteration-0 history rows are deterministic (objective at the initial
+    parameters): compare objective, fidelity, cost, Tikhonov and all penalty
+    columns against the reference's golden row, and the gradient norm."""
+    ours = np.loadtxt(os.path.join(datadir, "optim_history.dat"))
+    ours0 = ours[0] if ours.ndim == 2 else ours
+    gold0 = _golden_first_row(name)
+    # columns: 1 objective, 4 F_avg, 5 costT, 6 tikh, 7 penalty, 8 dpdm,
+    # 9 energy, 10 variation
+    for col in (1, 4, 5, 6, 7, 8, 9, 10):
+        np.testing.assert_allclose(ours0[col], gold0[col], rtol=rtol,
+                                   atol=1e-12, err_msg=f"{name} col {col}")
+    # column 2 (gradient norm) is intentionally NOT compared exactly: TAO
+    # reports its internal bounded-solver measure, ours is the projected
+    # gradient norm; they agree to a few percent but not to tolerance.
+    np.testing.assert_allclose(ours0[2], gold0[2], rtol=0.2, atol=1e-8,
+                               err_msg=f"{name} gnorm (loose)")
+
+
 def test_xgate_optimization_quality(tmp_path):
     """xgate: our optimizer must reach the reference's final objective class
     (iterate-for-iterate parity with TAO BQNLS is not required)."""
     res = _run_optim_case(tmp_path, "xgate")
+    _check_iter0_row(res["datadir"], "xgate")
     golden = _golden_final_row("xgate")
     # golden columns: iter, obj, gnorm, step, fidelity, cost, ...
     assert res["objective"] <= max(2.0 * golden[1], golden[1] + 1e-4), \
@@ -164,6 +190,7 @@ def test_xgate_optimization_quality(tmp_path):
 
 def test_cnot_optimization_quality(tmp_path):
     res = _run_optim_case(tmp_path, "cnot")
+    _check_iter0_row(res["datadir"], "cnot")
     golden = _golden_final_row("cnot")
     golden_infid = 1.0 - golden[4]
     assert res["infidelity"] <= max(2.0 * golden_infid, 1e-3), \
@@ -172,6 +199,7 @@ def test_cnot_optimization_quality(tmp_path):
 
 def test_state_to_state_spline0_quality(tmp_path):
     res = _run_optim_case(tmp_path, "state-to-state_spline0")
+    _check_iter0_row(res["datadir"], "state-to-state_spline0")
     golden = _golden_final_row("state-to-state_spline0")
     assert res["objective"] <= max(2.0 * golden[1], golden[1] + 1e-4), \
         (res["objective"], golden[1])
