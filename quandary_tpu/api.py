@@ -660,6 +660,139 @@ class Quandary:
         qt = [q[:, k] / (2 * np.pi) * 1e3 for k in range(len(self.Ne))]
         return ts_out.tolist(), pt, qt, infidelity, expected, population
 
+    def dump_reference_config(self, *, pcof0=[], runtype="optimization",
+                              datadir="./run_dir") -> str:
+        """Write a reference-compatible config.cfg (+ targetgate.dat /
+        targetstate.dat / initialstate.dat / pcof0.dat / hamiltonian_*.dat)
+        into datadir — the mirror of the reference's __dump
+        (quandary.py:551-762). The directory can be executed by the
+        reference C++ binary OR by `python -m quandary_tpu` (bidirectional
+        migration). Returns the config file path."""
+        datadir = resolve_datadir(datadir)
+        os.makedirs(datadir, exist_ok=True)
+
+        gatefile = ""
+        if len(self.targetgate) > 0:
+            gatefile = "targetgate.dat"
+            datafiles.write_complex_state(
+                os.path.join(datadir, gatefile),
+                np.asarray(self.targetgate, dtype=complex))
+        elif len(self.targetstate) > 0:
+            gatefile = "targetstate.dat"
+            state = np.asarray(self.targetstate, dtype=complex)
+            if self._lindblad_solver:
+                state = np.outer(state, state.conj())
+            datafiles.write_complex_state(os.path.join(datadir, gatefile), state)
+
+        initfile = ""
+        if str(self.initialcondition)[0:4] == "file":
+            initfile = "initialstate.dat"
+            state = np.asarray(self._initialstate, dtype=complex)
+            if self._lindblad_solver:
+                state = np.outer(state, state.conj())
+            datafiles.write_complex_state(os.path.join(datadir, initfile), state)
+
+        hsys_file = hc_file = ""
+        if not self.standardmodel:
+            hsys_file = "hamiltonian_Hsys.dat"
+            datafiles.write_hamiltonian_sys(
+                os.path.join(datadir, hsys_file), np.asarray(self.Hsys))
+            if len(self.Hc_re) > 0 or len(self.Hc_im) > 0:
+                hc_file = "hamiltonian_Hc.dat"
+                datafiles.write_hamiltonian_ctrl(
+                    os.path.join(datadir, hc_file), self.Hc_re, self.Hc_im)
+
+        read_pcof = False
+        use_pcof = list(pcof0) if len(pcof0) > 0 else list(self.pcof0)
+        if len(use_pcof) > 0:
+            datafiles.write_vector(os.path.join(datadir, "pcof0.dat"), use_pcof)
+            read_pcof = True
+
+        Nt = self.nlevels
+        lines = []
+        lines.append("nlevels = " + ",".join(str(i) for i in Nt))
+        lines.append("nessential= " + ",".join(str(i) for i in self.Ne))
+        lines.append(f"ntime = {self.nsteps}")
+        lines.append(f"dt = {self.dT}")
+        lines.append("transfreq = " + ",".join(str(f) for f in self.freq01))
+        lines.append("rotfreq= " + ",".join(str(f) for f in self.rotfreq))
+        lines.append("selfkerr = " + ",".join(str(f) for f in self.selfkerr))
+        lines.append("crosskerr= " + (",".join(str(f) for f in self.crosskerr)
+                                      if len(self.crosskerr) else "0.0"))
+        lines.append("Jkl= " + (",".join(str(f) for f in self.Jkl)
+                                if len(self.Jkl) else "0.0"))
+        decay, dephase = len(self.T1) > 0, len(self.T2) > 0
+        if decay:
+            lines.append("decay_time = " + ",".join(str(f) for f in self.T1))
+        if dephase:
+            lines.append("dephase_time = " + ",".join(str(f) for f in self.T2))
+        lines.append("collapse_type = " + ("both" if decay and dephase else
+                                           "decay" if decay else
+                                           "dephase" if dephase else "none"))
+        if str(self.initialcondition)[0:4] == "file":
+            lines.append(f"initialcondition = file, {initfile}")
+        else:
+            lines.append(f"initialcondition = {self.initialcondition}")
+        kind = "spline" if self.spline_order == 2 else "spline0"
+        for iosc in range(len(self.Ne)):
+            lines.append(f"control_segments{iosc} = {kind}, {self.nsplines}")
+            if read_pcof:
+                lines.append(f"control_initialization{iosc} = file, pcof0.dat")
+            else:
+                nf = len(np.atleast_1d(self.carrier_frequency[iosc]))
+                amp = float(np.atleast_1d(self.initctrl_MHz)[iosc]) / 1000.0 / np.sqrt(2) / nf
+                mode = "random" if self.randomize_init_ctrl else "constant"
+                lines.append(f"control_initialization{iosc} = {mode}, {amp}")
+            bound = (float(np.atleast_1d(self.maxctrl_MHz)[iosc]) / 1000.0
+                     if len(np.atleast_1d(self.maxctrl_MHz)) else 1e12)
+            lines.append(f"control_bounds{iosc} = {bound}")
+            lines.append(f"carrier_frequency{iosc} = "
+                         + ", ".join(str(f) for f in np.atleast_1d(self.carrier_frequency[iosc])))
+        lines.append(f"control_enforceBC = {self.control_enforce_BC}")
+        if gatefile:
+            lines.append(f"optim_target = {self.optim_target}, {gatefile}")
+        else:
+            lines.append(f"optim_target = {self.optim_target}")
+        lines.append(f"optim_objective = {self.costfunction}")
+        lines.append("gate_rot_freq = " + ", ".join(str(v) for v in self.gate_rot_freq))
+        lines.append("optim_weights= 1.0")
+        lines.append(f"optim_atol= {self.tol_gnorm_abs}")
+        lines.append(f"optim_rtol= {self.tol_gnorm_rel}")
+        lines.append(f"optim_ftol= {self.tol_costfunc}")
+        lines.append(f"optim_inftol= {self.tol_infidelity}")
+        lines.append(f"optim_maxiter= {self.maxiter}")
+        if self.gamma_tik0_interpolate > 0.0:
+            lines.append(f"optim_regul= {self.gamma_tik0_interpolate}")
+            lines.append("optim_regul_tik0 = true")
+        else:
+            lines.append(f"optim_regul= {self.gamma_tik0}")
+            lines.append("optim_regul_tik0=false")
+        lines.append(f"optim_penalty= {self.gamma_leakage}")
+        lines.append("optim_penalty_param= 0.0")
+        lines.append(f"optim_penalty_dpdm= {self.gamma_dpdm}")
+        lines.append(f"optim_penalty_variation= {self.gamma_variation}")
+        lines.append(f"optim_penalty_energy= {self.gamma_energy}")
+        lines.append("datadir= ./")
+        for iosc in range(len(self.Ne)):
+            lines.append(f"output{iosc}=expectedEnergy, population, fullstate")
+        lines.append("output_frequency = 1")
+        lines.append(f"optim_monitor_frequency = {self.print_frequency_iter}")
+        lines.append(f"runtype = {runtype}")
+        lines.append(f"usematfree = {self.usematfree}")
+        lines.append("linearsolver_type = gmres")
+        lines.append(f"linearsolver_maxiter = {self.linearsolver_maxiter}")
+        if hsys_file:
+            lines.append(f"hamiltonian_file_Hsys= {hsys_file}")
+        if hc_file:
+            lines.append(f"hamiltonian_file_Hc= {hc_file}")
+        lines.append(f"timestepper = {self.timestepper}")
+        if self.rand_seed is not None and self.rand_seed >= 0:
+            lines.append(f"rand_seed = {int(self.rand_seed)}")
+        outpath = os.path.join(datadir, "config.cfg")
+        with open(outpath, "w", newline="\n") as f:
+            f.write("\n".join(lines) + "\n")
+        return outpath
+
     def get_results(self, *, datadir="./", ignore_failure=False):
         """Parse a reference-format output directory (quandary.py:765-893):
         works on directories written by this framework OR by the reference

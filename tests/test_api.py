@@ -198,3 +198,31 @@ def test_multistart_optimize(tmp_path):
     t, pt, qt, infid, energy, population = q.optimize(
         datadir=str(tmp_path / "ms"), multistart=4)
     assert infid < 1e-4, infid
+
+
+def test_dump_reference_config_roundtrip(tmp_path):
+    """dump_reference_config -> our CLI runs the dumped directory -> the
+    objective matches the direct in-process simulation (bidirectional
+    config interop)."""
+    import jax.numpy as jnp
+    from quandary_tpu.cli import run as cli_run
+
+    unitary = np.eye(4, dtype=complex)
+    unitary[2:, 2:] = [[0, 1], [1, 0]]
+    freq01 = [4.8, 4.9]
+    q = Quandary(
+        Ne=[2, 2], freq01=freq01, rotfreq=freq01, selfkerr=[0.2, 0.21],
+        Jkl=[0.004], T=50.0, targetgate=unitary,
+        randomize_init_ctrl=False, initctrl_MHz=3.0,
+        carrier_frequency=[[0.0], [0.0]], verbose=False,
+    )
+    # direct in-process simulation
+    t, pt, qt, infid, energy, population = q.simulate(datadir=str(tmp_path / "direct"))
+    direct_obj = np.loadtxt(tmp_path / "direct" / "optim_history.dat")[1]
+
+    # dumped config through the CLI
+    cfg = q.dump_reference_config(runtype="simulation", datadir=str(tmp_path / "dump"))
+    res = cli_run(cfg, quiet=True, datadir_override=str(tmp_path / "dump_out"))
+    assert abs(res["objective"] - float(direct_obj)) < 1e-9 * max(1.0, abs(direct_obj))
+    # dumped artifacts exist for reference-binary consumption
+    assert (tmp_path / "dump" / "targetgate.dat").exists()

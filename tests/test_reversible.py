@@ -43,7 +43,7 @@ def _setup(timestepper="IMR", penalty_param=0.5):
     )
 
 
-@pytest.mark.parametrize("stepper", ["IMR", "IMR4"])
+@pytest.mark.parametrize("stepper", ["IMR", "IMR4", "IMR8"])
 def test_reversible_matches_remat(stepper):
     base = _setup(timestepper=stepper)
     s_rev = dataclasses.replace(base, adjoint="reversible")
