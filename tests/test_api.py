@@ -226,3 +226,26 @@ def test_dump_reference_config_roundtrip(tmp_path):
     assert abs(res["objective"] - float(direct_obj)) < 1e-9 * max(1.0, abs(direct_obj))
     # dumped artifacts exist for reference-binary consumption
     assert (tmp_path / "dump" / "targetgate.dat").exists()
+
+
+def test_simulate_with_sampled_pulses(tmp_path):
+    """simulate(pt0=..., qt0=...): given sampled pulses are downsampled onto
+    spline0 coefficients and propagated (quandary.py:328-347, 444-488)."""
+    q = Quandary(
+        Ne=[2], freq01=[4.1], selfkerr=[0.2], T=20.0,
+        randomize_init_ctrl=False, initctrl_MHz=0.0,
+        initialcondition="pure, 0", optim_target="pure, 1",
+        costfunction="Jfrobenius", verbose=False,
+    )
+    nt = q.nsteps + 1
+    tgrid = np.linspace(0, q.T, nt)
+    pt0 = [10.0 * np.sin(np.pi * tgrid / q.T)]      # MHz
+    qt0 = [np.zeros(nt)]
+    t, pt, qt, infid, energy, population = q.simulate(
+        pt0=pt0, qt0=qt0, datadir=str(tmp_path / "sampled"))
+    # the propagated pulse follows the requested envelope
+    pt_arr = np.asarray(pt[0])
+    k = len(pt_arr) // 2
+    assert abs(pt_arr[k] - 10.0) < 0.5, pt_arr[k]
+    # the drive moves population out of |0>
+    assert population[0][0][0][-1] < 0.99
