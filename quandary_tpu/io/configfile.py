@@ -102,11 +102,14 @@ def _parse_segments(tokens: List[str], total_time: float) -> List[ControlSegment
     return segs
 
 
-def _init_params_for_osc(osc: OscillatorControl, init_tokens: List[str]):
+def _init_params_for_osc(osc: OscillatorControl, init_tokens: List[str],
+                         rand_seed: Optional[int] = None):
     """Initial parameter values for one oscillator
     (oscillator.cpp:134-205). Returns (values, from_file_name|None).
-    Amplitudes in the config are multiplied by 2*pi. 'random' uses a numpy
-    PRNG (see api.Quandary._initial_params for the parity caveat)."""
+    Amplitudes in the config are multiplied by 2*pi. 'random' draws are
+    bit-exact with the reference when the native std::mt19937 library is
+    available (the engine restarts per oscillator, matching the reference's
+    pass-by-value engine copy, main.cpp:240); numpy fallback otherwise."""
     nf = len(osc.carrier_freqs)
     vals: List[float] = []
     idini = 0
@@ -127,9 +130,12 @@ def _init_params_for_osc(osc: OscillatorControl, init_tokens: List[str]):
                     v = min(max(v, 0.0), 1.0)
                 block = [v] * npc
             elif mode == "random":
-                # all golden configs use amplitude 0.0 here; scaled uniform otherwise
-                rng = np.random.default_rng(0)
-                r = rng.uniform(0.0, 1.0, npc) * initval
+                from .native import mt19937_uniform
+                u = mt19937_uniform(int(rand_seed or 0), npc) \
+                    if rand_seed is not None else None
+                if u is None:
+                    u = np.random.default_rng(rand_seed).uniform(0.0, 1.0, npc)
+                r = u * initval
                 block = list(2.0 * r - initval)
             else:
                 block = [0.0] * npc
@@ -224,10 +230,12 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
         default_init = init_tokens
 
     # initial parameter vector
+    rand_seed = cfg.get_int("rand_seed", -1)
+    rand_seed = rand_seed if rand_seed >= 0 else None
     params_chunks = []
     file_name = None
     for osc, init_tokens in zip(oscillators, init_tokens_all):
-        vals, fname = _init_params_for_osc(osc, init_tokens)
+        vals, fname = _init_params_for_osc(osc, init_tokens, rand_seed)
         if fname is not None:
             file_name = fname
             params_chunks = None
