@@ -62,6 +62,32 @@ def build_problem():
 
 
 def main():
+    """Retry wrapper: the TPU relay in this environment intermittently wedges
+    (UNIMPLEMENTED at execution); retry, then fall back to CPU so a valid
+    record is always emitted (marked with "device")."""
+    import jax
+
+    last_err = None
+    for attempt in range(3):
+        try:
+            return _run_bench(device=jax.devices()[0].platform)
+        except Exception as e:  # noqa: BLE001 - relay errors are opaque
+            last_err = e
+            time.sleep(5)
+    try:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        return _run_bench(device="cpu-fallback")
+    except Exception:
+        print(json.dumps({
+            "metric": "cnot_gradient_sweeps_per_s", "value": 0.0,
+            "unit": "sweeps/s", "vs_baseline": 0.0,
+            "error": str(last_err)[:200],
+        }))
+
+
+def _run_bench(device: str):
     import jax
     import jax.numpy as jnp
 
@@ -114,6 +140,7 @@ def main():
         "vs_baseline": round(sweeps_per_s / REFERENCE_SWEEPS_PER_S, 2),
         "single_problem_sweeps_per_s": round(single_per_s, 3),
         "ensemble_size": E,
+        "device": device,
     }))
 
 

@@ -249,3 +249,24 @@ def test_simulate_with_sampled_pulses(tmp_path):
     assert abs(pt_arr[k] - 10.0) < 0.5, pt_arr[k]
     # the drive moves population out of |0>
     assert population[0][0][0][-1] < 0.99
+
+
+def test_cli_evalcontrols(tmp_path):
+    """CLI evalcontrols runtype: writes params + controls without propagating."""
+    from quandary_tpu.cli import run as cli_run
+    import shutil
+
+    cfg_text = (tmp_path / "ec.cfg")
+    cfg_text.write_text(
+        "nlevels = 2\nntime = 100\ndt = 0.1\ntransfreq = 4.1\nrotfreq = 4.1\n"
+        "selfkerr = 0.2\ncollapse_type = none\ninitialcondition = pure, 0\n"
+        "control_segments0 = spline, 10\ncontrol_initialization0 = constant, 0.003\n"
+        "carrier_frequency0 = 0.0\noptim_target = pure, 1\n"
+        "optim_objective = Jfrobenius\nruntype = evalcontrols\ndatadir = out\n")
+    res = cli_run(str(cfg_text), quiet=True)
+    d = res["datadir"]
+    assert os.path.exists(os.path.join(d, "params.dat"))
+    ctrl = np.loadtxt(os.path.join(d, "control0.dat"))
+    assert ctrl.shape[0] == 101
+    # constant init 0.003 GHz -> p column ~0.003 at interior points
+    assert abs(ctrl[50, 1] - 0.003) < 1e-6
