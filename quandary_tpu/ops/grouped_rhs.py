@@ -156,6 +156,14 @@ class GroupedEngine:
         X = x.reshape(B, self.m1, self.m2)
         Xr = jnp.real(X).astype(rdt)
         Xi = jnp.imag(X).astype(rdt)
+        Hx_r, Hx_i = self.apply_H_planes(c, Xr, Xi)
+        # -i (Hx_r + i Hx_i) = Hx_i - i Hx_r
+        return jax.lax.complex(Hx_i, -Hx_r).astype(self.dtype).reshape(x.shape)
+
+    def apply_H_planes(self, c, Xr, Xi):
+        """H x in explicit re/im planes: Xr, Xi (B, m1, m2) real ->
+        (Hx_r, Hx_i). The fully-real compute core."""
+        rdt = Xr.dtype
         cr = c.astype(rdt)
 
         SL = jnp.asarray(self.stackL)
@@ -198,5 +206,52 @@ class GroupedEngine:
             t2i = rm(AtXi, Bm)
             Yr = Yr + zr * t1r - zi * t1i + zr * t2r + zi * t2i
             Yi = Yi + zr * t1i + zi * t1r + zr * t2i - zi * t2r
-        # -i (Yr + i Yi) = Yi - i Yr
-        return jax.lax.complex(Yi, -Yr).astype(self.dtype).reshape(x.shape)
+        return Yr, Yi
+
+
+def make_real_imr_step(engine: "GroupedEngine", dt: float, iters: int):
+    """Fully REAL-arithmetic Jacobi-preconditioned IMR step for the grouped
+    engine: state carried as f32 planes (Xr, Xi) of shape (B, m1, m2); no
+    complex dtype anywhere in the compiled program (some TPU backends
+    mishandle large fused complex elementwise ops).
+
+    Math: M = -iH; generator diag d = -i h (h = real drift diagonal);
+    Minv = (1 - i a h)/(1 + a^2 h^2) with a = dt/2. All Jacobi-Neumann
+    updates expand into real plane arithmetic.
+    Returns step(Xr, Xi, c) -> (Xr', Xi').
+    """
+    import numpy as _np
+
+    rdt = _np.float32 if engine.dtype == jnp.complex64 else _np.float64
+    h = _np.asarray(-engine.gen_diag().imag, dtype=rdt)   # gen_diag = -i h
+    h = h.reshape(engine.m1, engine.m2)
+    a = float(dt) / 2.0
+    den = 1.0 / (1.0 + (a * h) ** 2)
+    Minv_r = _np.asarray(den, dtype=rdt)                  # Re(1/(1 + i a h))
+    Minv_i = _np.asarray(-a * h * den, dtype=rdt)         # Im
+
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    def step(Xr, Xi, c):
+        MR = jnp.asarray(Minv_r)[None]
+        MI = jnp.asarray(Minv_i)[None]
+        hh = jnp.asarray(h)[None]
+
+        def M_apply(vr, vi):
+            Hr, Hi = engine.apply_H_planes(c, vr, vi)
+            return Hi, -Hr                                # -i H v
+
+        br, bi = M_apply(Xr, Xi)
+        kr, ki = cmul(MR, MI, br, bi)
+        for _ in range(iters):
+            mr, mi = M_apply(kr, ki)
+            # subtract d*k with d = -i h: d*k = (h*ki, -h*kr)
+            tr = mr - hh * ki
+            ti = mi + hh * kr
+            ur = br + a * tr
+            ui = bi + a * ti
+            kr, ki = cmul(MR, MI, ur, ui)
+        return Xr + dt * kr, Xi + dt * ki
+
+    return step

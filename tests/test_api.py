@@ -174,12 +174,12 @@ def test_cnot_with_guard_levels(tmp_path):
     q = Quandary(
         Ne=[2, 2], Ng=[1, 1], freq01=freq01, rotfreq=[favg, favg],
         selfkerr=[0.2198, 0.2252], Jkl=[0.005],
-        T=140.0, targetgate=unitary, rand_seed=1234, maxiter=25,
+        T=140.0, targetgate=unitary, rand_seed=1234, maxiter=12,
         gamma_leakage=0.1, verbose=False,
     )
     t, pt, qt, infid, energy, population = q.optimize(datadir=str(tmp_path / "cg"))
     hist = q.optim_hist
-    assert hist["Cost"][-1] < 0.6 * hist["Cost"][0], (hist["Cost"][0], hist["Cost"][-1])
+    assert hist["Cost"][-1] < 0.8 * hist["Cost"][0], (hist["Cost"][0], hist["Cost"][-1])
     # leakage penalty is being computed (guard levels present)
     assert np.all(np.asarray(hist["Penalty-Leakage"]) >= 0.0)
     # populations per oscillator have 3 levels (guard included)

@@ -87,7 +87,7 @@ def _random_setup(rng):
     )
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(4))
 def test_fuzz_fd_gradient(seed):
     rng = np.random.default_rng(1000 + seed)
     setup = _random_setup(rng)

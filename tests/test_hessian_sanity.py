@@ -13,13 +13,13 @@ from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
 
 
 def _small_problem(lindblad=False):
-    T, ntime = 3.0, 20
+    T, ntime = 2.0, 12
     model = build_standard_model(
         nlevels=[2], freq01_ghz=[4.1], rotfreq_ghz=[4.08], selfkerr_ghz=[0.2],
         decay_time=[40.0] if lindblad else [], dephase_time=[30.0] if lindblad else [],
         lindblad=lindblad)
     osc = OscillatorControl(
-        segments=(ControlSegment("spline", nsplines=4, tstart=0.0, tstop=T),),
+        segments=(ControlSegment("spline", nsplines=3, tstart=0.0, tstop=T),),
         carrier_freqs=(0.0,))
     setup = Setup(
         model=model, nessential=(2,), ntime=ntime, dt=T / ntime,

@@ -119,3 +119,35 @@ def test_grouped_vs_tensor_rhs():
     y2 = np.asarray(grouped.rhs(c, x))
     err = np.abs(y1 - y2).max() / np.abs(y1).max()
     assert err < 1e-12, err
+
+
+def test_real_imr_step_matches_complex():
+    """Fully-real grouped IMR step == complex jacobi step."""
+    from quandary_tpu.ops.grouped_rhs import GroupedEngine, make_real_imr_step
+    from quandary_tpu.ops.steppers import make_step_fn
+
+    args = dict(
+        nlevels=[3, 4, 2, 3],
+        freq01_ghz=[4.1, 5.0, 3.3, 4.4],
+        rotfreq_ghz=[4.0, 4.9, 3.35, 4.38],
+        selfkerr_ghz=[0.22, 0.1, 0.15, 0.18],
+        crosskerr_ghz=[0.01, 0.002, 0.005, 0.003, 0.004, 0.006],
+        jkl_ghz=[0.004, 0.0, 0.006, 0.002, 0.0, 0.003],
+    )
+    m = build_structured_model(**args)
+    eng = GroupedEngine(m, dtype=jnp.complex128)
+    dt, iters = 0.02, 12
+    step_c = make_step_fn(eng.rhs, dt, "IMR", iters, "jacobi",
+                          gen_diag=eng.gen_diag())
+    step_r = make_real_imr_step(eng, dt, iters)
+
+    rng = np.random.default_rng(9)
+    N = m.N
+    x = rng.normal(size=(2, N)) + 1j * rng.normal(size=(2, N))
+    xj = jnp.asarray(x)
+    y_c = np.asarray(step_c(xj, jnp.ones((1, m.K))))
+    Xr = jnp.asarray(x.real.reshape(2, eng.m1, eng.m2))
+    Xi = jnp.asarray(x.imag.reshape(2, eng.m1, eng.m2))
+    yr, yi = step_r(Xr, Xi, jnp.ones((m.K,)))
+    y_r = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(2, N)
+    assert np.abs(y_c - y_r).max() < 1e-11, np.abs(y_c - y_r).max()
