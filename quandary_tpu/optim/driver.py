@@ -84,6 +84,7 @@ def run_optimization(
     inftol: float = 1e-5,
     monitor_freq: int = 1,
     verbose: bool = True,
+    linesearch: str = "wolfe",
 ) -> OptimResult:
     vg = problem.build_value_and_grad()
     params_ref = jax.numpy.asarray(np.asarray(params0, dtype=np.float64))
@@ -123,6 +124,7 @@ def run_optimization(
     res = minimize_lbfgsb(
         fun_and_grad, np.asarray(params0, dtype=np.float64), lb, ub,
         maxiter=maxiter, gatol=gatol, grtol=grtol, callback=callback,
+        linesearch=linesearch,
     )
     infid = 1.0 - history[-1].fidelity if history else 1.0
     return OptimResult(

@@ -65,6 +65,112 @@ def _projected_grad(x, g, lb, ub, tol=1e-12):
     return pg
 
 
+def _cubic_min(a, fa, da, b, fb, db):
+    """Minimizer of the cubic interpolating (a,fa,da) and (b,fb,db); falls back
+    to bisection when the interpolation is ill-conditioned."""
+    d1 = da + db - 3.0 * (fa - fb) / (a - b)
+    disc = d1 * d1 - da * db
+    if disc < 0.0:
+        return 0.5 * (a + b)
+    d2 = np.sqrt(disc) * np.sign(b - a)
+    denom = db - da + 2.0 * d2
+    if abs(denom) < 1e-300:
+        return 0.5 * (a + b)
+    t = b - (b - a) * (db + d2 - d1) / denom
+    lo, hi = (a, b) if a < b else (b, a)
+    if not (lo + 0.05 * (hi - lo) <= t <= hi - 0.05 * (hi - lo)):
+        return 0.5 * (a + b)
+    return t
+
+
+def _first_step_cap(x, d, lb, ub):
+    """Initial trial step for the FIRST iteration (no curvature memory yet,
+    d = -g unscaled): cap it so the trial doesn't cross more than a quarter
+    of the box in any coordinate. An unscaled gradient step that dwarfs the
+    box projects straight onto a corner — a bound-saturated KKT trap with
+    projected gradient exactly zero (scipy's L-BFGS-B scales the first step
+    for the same reason; TAO limits the initial step via its line search)."""
+    ad = np.abs(d)
+    mask = ad > 0
+    if not mask.any():
+        return 1.0
+    width = (ub - lb)[mask]
+    finite = width < 1e9
+    if not finite.any():
+        return 1.0
+    t_cap = 0.25 * np.min(width[finite] / ad[mask][finite])
+    return float(min(1.0, max(t_cap, 1e-3)))
+
+
+def _wolfe_search(fun_and_grad, x, f0, g0, d, lb, ub, *, c1, c2, ls_max,
+                  t0=1.0):
+    """Strong-Wolfe line search (bracket + zoom with cubic interpolation,
+    Nocedal & Wright alg. 3.5/3.6) along the projected path t -> P(x + t d).
+
+    This mirrors the More-Thuente search TAO's BQNLS uses by default
+    (optimproblem.cpp:177-189 selects BQNLS, whose line search is 'more-thuente').
+    The directional derivative at a projected trial point is taken along the
+    chord (P(x+t d) - x)/t so the test stays meaningful when bounds clip the
+    step. Returns (x_new, f_new, g_new, aux_new, t, n_evals) or None.
+    """
+    dphi0 = float(np.dot(g0, d))
+    if dphi0 >= 0.0:
+        return None
+    evals = [0]
+
+    def phi(t):
+        xt = _project(x + t * d, lb, ub)
+        ft, gt, auxt = fun_and_grad(xt)
+        evals[0] += 1
+        chord = (xt - x) / t
+        return xt, ft, gt, auxt, float(np.dot(gt, chord))
+
+    def zoom(t_lo, f_lo, d_lo, t_hi, f_hi, d_hi, best):
+        for _ in range(ls_max):
+            t = _cubic_min(t_lo, f_lo, d_lo, t_hi, f_hi, d_hi)
+            xt, ft, gt, auxt, dft = phi(t)
+            if ft > f0 + c1 * t * dphi0 or ft >= f_lo:
+                t_hi, f_hi, d_hi = t, ft, dft
+            else:
+                if abs(dft) <= -c2 * dphi0:
+                    return xt, ft, gt, auxt, t, evals[0]
+                if dft * (t_hi - t_lo) >= 0.0:
+                    t_hi, f_hi, d_hi = t_lo, f_lo, d_lo
+                t_lo, f_lo, d_lo = t, ft, dft
+                best = (xt, ft, gt, auxt, t)
+            if abs(t_hi - t_lo) < 1e-14:
+                break
+        # zoom exhausted: accept the best Armijo-satisfying point if any
+        if best is not None:
+            return (*best, evals[0])
+        return None
+
+    t_prev, f_prev, d_prev = 0.0, f0, dphi0
+    t = t0
+    prev_pt = None
+    for i in range(ls_max):
+        xt, ft, gt, auxt, dft = phi(t)
+        if np.linalg.norm(xt - x) < 1e-16:
+            return None
+        if ft > f0 + c1 * t * dphi0 or (i > 0 and ft >= f_prev):
+            return zoom(t_prev, f_prev, d_prev, t, ft, dft, prev_pt)
+        if abs(dft) <= -c2 * dphi0:
+            return xt, ft, gt, auxt, t, evals[0]
+        if dft >= 0.0:
+            return zoom(t, ft, dft, t_prev, f_prev, d_prev, (xt, ft, gt, auxt, t))
+        if np.linalg.norm(xt - (x + t * d)) > 0.0:
+            # projection clips the trial: the path has kinked onto a box
+            # face. Do NOT extrapolate deeper (t *= 2 would march the
+            # iterate into the corner and trap the outer loop at a
+            # bound-saturated KKT point); accept this Armijo-satisfying
+            # point — projected-Armijo semantics on the kinked segment.
+            return xt, ft, gt, auxt, t, evals[0]
+        prev_pt = (xt, ft, gt, auxt, t)
+        t_prev, f_prev, d_prev = t, ft, dft
+        t *= 2.0
+    return prev_pt and (*prev_pt, evals[0])
+
+
 def _two_loop(g, s_list, y_list, rho_list):
     q = g.copy()
     alphas = []
@@ -94,6 +200,8 @@ def minimize_lbfgsb(
     history_size: int = 10,
     ls_max: int = 30,
     c1: float = 1e-4,
+    c2: float = 0.9,
+    linesearch: str = "armijo",
     callback: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
@@ -147,23 +255,31 @@ def minimize_lbfgsb(
         if np.dot(d, pg) > -1e-14 * np.linalg.norm(d) * gnorm:
             d = -pg
 
-        # backtracking Armijo on the projected path
-        t = 1.0
-        f_new, g_new, aux_new, x_new = f, g, aux, x
+        t0 = _first_step_cap(x, d, lb, ub) if not s_list else 1.0
         ok = False
-        gtd = np.dot(g, d)
-        for _ in range(ls_max):
-            x_try = _project(x + t * d, lb, ub)
-            dx = x_try - x
-            if np.linalg.norm(dx) < 1e-16:
-                break
-            f_try, g_try, aux_try = fun_and_grad(x_try)
-            # Armijo on the actual (projected) displacement
-            if f_try <= f + c1 * np.dot(g, dx):
-                f_new, g_new, aux_new, x_new = f_try, g_try, aux_try, x_try
-                ok = True
-                break
-            t *= 0.5
+        if linesearch == "wolfe":
+            hit = _wolfe_search(fun_and_grad, x, f, g, d, lb, ub,
+                                c1=c1, c2=c2, ls_max=ls_max, t0=t0)
+            if hit is not None:
+                x_new, f_new, g_new, aux_new, t, _ = hit
+                ok = f_new <= f + c1 * np.dot(g, x_new - x)
+        if not ok:
+            # backtracking Armijo on the projected path (also the fallback
+            # when the Wolfe bracket fails, e.g. on a kinked projected path)
+            t = t0
+            f_new, g_new, aux_new, x_new = f, g, aux, x
+            for _ in range(ls_max):
+                x_try = _project(x + t * d, lb, ub)
+                dx = x_try - x
+                if np.linalg.norm(dx) < 1e-16:
+                    break
+                f_try, g_try, aux_try = fun_and_grad(x_try)
+                # Armijo on the actual (projected) displacement
+                if f_try <= f + c1 * np.dot(g, dx):
+                    f_new, g_new, aux_new, x_new = f_try, g_try, aux_try, x_try
+                    ok = True
+                    break
+                t *= 0.5
         if not ok:
             reason = "line search failed"
             break
