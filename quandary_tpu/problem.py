@@ -36,6 +36,20 @@ from .utils.indexing import guard_mask
 from .utils.splines import ControlEvalPlan, OscillatorControl, build_control_plan
 
 
+def _chunked_device_put(v: np.ndarray, max_bytes: int = 4 << 20):
+    """device_put that splits arrays larger than `max_bytes` into flat chunks
+    transferred separately and reassembled on device. Remote-attached devices
+    (e.g. a TPU behind a relay tunnel) can reject single oversized host->device
+    transfers outright; chunking keeps each message bounded while the
+    reassembled array stays device-resident."""
+    if v.nbytes <= max_bytes:
+        return jax.device_put(v)
+    flat = v.reshape(-1)
+    n_chunks = -(-v.nbytes // max_bytes)
+    pieces = [jax.device_put(c) for c in np.array_split(flat, n_chunks)]
+    return jnp.concatenate(pieces).reshape(v.shape)
+
+
 @dataclasses.dataclass
 class Setup:
     """Fully-resolved problem specification in internal units (rad/ns, ns)."""
@@ -80,6 +94,12 @@ class Setup:
     # systems with IMR-family steppers only); 'auto' picks reversible when
     # legal. (ops/reversible.py)
     adjoint: str = "auto"
+    # Fused Pallas step kernels (ops/pallas_kernels.py, ops/pallas_adjoint.py):
+    # 'auto' enables the fully-fused VMEM-resident IMR propagation — with the
+    # hand-derived reversible VJP for training — on TPU backends for dense
+    # complex64 closed systems with plain-Neumann stage solves; True forces
+    # (interpret mode off-TPU, for tests); False disables.
+    pallas: object = "auto"
     # Time-parallel propagation (ops/propagator.py): 'auto' enables it for
     # small dense systems where ntime * dim^2 fits comfortably in memory;
     # True forces, False disables (sequential lax.scan).
@@ -225,6 +245,23 @@ class Problem:
                                     s.linsolve_iters, self.linsolver,
                                     gen_diag=self.gen_diag)
 
+        # --- fused Pallas path feasibility (ops/pallas_adjoint.py) ---
+        pallas_ok = (not self.lindblad
+                     and s.timestepper.upper() == "IMR"
+                     and self.linsolver == "neumann"
+                     and s.dtype == jnp.complex64
+                     and isinstance(self.engine, DenseEngine)
+                     and s.gamma_penalty_dpdm <= 1e-13)
+        if s.pallas == "auto":
+            self.use_pallas = pallas_ok and jax.default_backend() == "tpu"
+        else:
+            self.use_pallas = bool(s.pallas) and pallas_ok
+        self._pallas_interpret = jax.default_backend() != "tpu"
+        if self.use_pallas:
+            from .ops.pallas_adjoint import plane_args
+            eng = self.engine
+            eng.pallas_Sr, eng.pallas_Si = plane_args(eng.stack)
+
         # --- time-parallel feasibility (ops/propagator.py) ---
         dim_prop = self.N * self.N if self.lindblad else self.N
         feasible = (isinstance(self.engine, DenseEngine)
@@ -239,6 +276,9 @@ class Problem:
             self.time_parallel = feasible and profitable
         else:
             self.time_parallel = bool(s.time_parallel) and feasible
+        if self.use_pallas:
+            # the fused kernel path owns propagation when enabled
+            self.time_parallel = False
         if self.time_parallel and self.lindblad:
             from .ops.propagator import lindblad_superop_builder
             self._superop_builder = lindblad_superop_builder(
@@ -470,6 +510,39 @@ class Problem:
         use_jt = self.jt_weight is not None and s.gamma_penalty > 1e-13
         use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
 
+        if self.use_pallas and not use_dpdm:
+            # Fully-fused Pallas propagation with the hand-derived reversible
+            # VJP (ops/pallas_adjoint.py): one kernel per step forward, one
+            # per step backward, stack planes device-resident.
+            from .ops.pallas_adjoint import make_pallas_propagate
+
+            def penalty_fn(x, extra):
+                out = {}
+                if use_leak:
+                    d2 = jnp.abs(self._diag(x)) ** 2
+                    out["leak"] = jnp.sum(
+                        d2 * jnp.asarray(self.guard_mask)[None, :],
+                        axis=1) / s.ntime
+                if use_jt:
+                    out["jt"] = extra["wt"] * self.eval_J_per_state(x) * s.dt
+                return out
+
+            prop = make_pallas_propagate(
+                np.zeros((self.model.K, self.N, self.N), np.complex64),
+                s.dt, s.linsolve_iters,
+                penalty_fn if (use_leak or use_jt) else None,
+                interpret=self._pallas_interpret)
+            extras = {"wt": jnp.asarray(self.jt_weight)} if use_jt else {}
+            xT, pen = prop(jnp.asarray(self.engine.pallas_Sr),
+                           jnp.asarray(self.engine.pallas_Si),
+                           jnp.asarray(self.x0, dtype=s.dtype),
+                           C[:, 0, :], extras)
+            return self._assemble_objective(
+                params, params_ref, xT,
+                pen.get("leak") if (use_leak or use_jt) else None,
+                pen.get("jt") if (use_leak or use_jt) else None,
+                None, energy_int)
+
         # Reversible O(1)-memory adjoint: closed systems, IMR family, no
         # multi-state penalties (dpdm needs a state history).
         use_reversible = (
@@ -565,7 +638,7 @@ class Problem:
         slots = [(self, "x0"), (self, "target")]
         eng = self.engine
         for name in ("stack", "Ls", "stackL", "stackR", "cross_diag",
-                     "crossA", "crossB"):
+                     "crossA", "crossB", "pallas_Sr", "pallas_Si"):
             if getattr(eng, name, None) is not None:
                 slots.append((eng, name))
         out = []
@@ -582,7 +655,7 @@ class Problem:
         if not slots:
             return jax.jit(fn)
         host_vals = {name: np.asarray(getattr(h, name)) for h, name in slots}
-        dev_vals = {name: jax.device_put(v) for name, v in host_vals.items()}
+        dev_vals = {name: _chunked_device_put(v) for name, v in host_vals.items()}
 
         def traced(data, *args):
             saved = {}
