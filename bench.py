@@ -25,7 +25,7 @@ import numpy as np
 REFERENCE_SWEEPS_PER_S = 2.0  # estimated MPI-CPU reference throughput
 
 
-def build_problem():
+def build_problem(pallas="auto"):
     import jax.numpy as jnp
     from quandary_tpu.models import gates
     from quandary_tpu.models.hamiltonian import build_standard_model
@@ -56,7 +56,7 @@ def build_problem():
         initcond_type="basis", target_type="gate", target_gate_full=V,
         objective_type="Jtrace", gamma_tik=1e-4, gamma_penalty=0.1,
         gamma_penalty_energy=0.1, gamma_penalty_dpdm=0.01,
-        dtype=jnp.complex64, linsolve_iters=8,
+        dtype=jnp.complex64, linsolve_iters=8, pallas=pallas,
     )
     return Problem(setup), setup
 
@@ -68,9 +68,12 @@ def main():
     import jax
 
     last_err = None
-    for attempt in range(3):
+    # Attempt order: fused Pallas path (auto picks it on TPU), then the XLA
+    # scan path (pallas=False) in case the kernel path hits a backend gap,
+    # then CPU.
+    for attempt, pallas in enumerate(("auto", "auto", False, False)):
         try:
-            return _run_bench(device=jax.devices()[0].platform)
+            return _run_bench(device=jax.devices()[0].platform, pallas=pallas)
         except Exception as e:  # noqa: BLE001 - relay errors are opaque
             last_err = e
             time.sleep(5)
@@ -87,11 +90,11 @@ def main():
         }))
 
 
-def _run_bench(device: str):
+def _run_bench(device: str, pallas="auto"):
     import jax
     import jax.numpy as jnp
 
-    problem, setup = build_problem()
+    problem, setup = build_problem(pallas=pallas)
     vg = problem.build_value_and_grad()
     params = jnp.asarray(np.random.default_rng(1234).uniform(
         -1, 1, setup.nparams) * 0.005, dtype=jnp.float32)
@@ -141,6 +144,7 @@ def _run_bench(device: str):
         "single_problem_sweeps_per_s": round(single_per_s, 3),
         "ensemble_size": E,
         "device": device,
+        "engine": "pallas-fused" if problem.use_pallas else "xla-scan",
     }))
 
 

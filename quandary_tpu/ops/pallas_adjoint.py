@@ -134,6 +134,8 @@ def _step_vjp_kernel(Hr_ref, Hi_ref, xr_ref, xi_ref, gr_ref, gi_ref,
 
 def make_pallas_propagate(stack, dt: float, iters: int = 10,
                           penalty_fn: Optional[Callable] = None,
+                          obs_fn: Optional[Callable] = None,
+                          hist_penalty_fn: Optional[Callable] = None,
                           interpret: bool = False):
     """Build propagate(Sr, Si, x0, C, extras) -> (xT, pen_sum), differentiable
     in x0 and C via the fused kernels above.
@@ -144,6 +146,16 @@ def make_pallas_propagate(stack, dt: float, iters: int = 10,
     C: (ntime, K) real coefficient rows at step midpoints. penalty_fn(x,
     extra) -> pytree of per-step penalty contributions at post-step states
     (same contract as ops/reversible.make_reversible_propagate).
+
+    History-dependent penalties (e.g. the population-second-derivative dpdm
+    penalty, optimproblem.cpp evalF's penalty_dpdm integral) can't be
+    expressed per step: obs_fn(x) -> low-dim per-step observable (e.g.
+    populations) and hist_penalty_fn(obs_hist, x0, extras) -> penalty pytree
+    over the STACKED (ntime, ...) observables. The forward pass stores only
+    the observables (not the states); the backward pass computes the
+    observable cotangents with one vectorized VJP of hist_penalty_fn, then
+    injects them step-by-step during the reverse sweep. With both kinds
+    active the returned pen_sum is {**per_step, **hist}.
     """
     stack = np.asarray(stack)
     K, N, _ = stack.shape
@@ -189,8 +201,9 @@ def make_pallas_propagate(stack, dt: float, iters: int = 10,
             out_specs=(pl.BlockSpec(**vmem),) * 6,
             interpret=interpret)
 
-    @jax.custom_vjp
-    def propagate(Sr, Si, x0, C, extras):
+    has_hist = obs_fn is not None and hist_penalty_fn is not None
+
+    def _run_forward(Sr, Si, x0, C, extras):
         B, dtype = x0.shape[0], x0.dtype
         Hr_all = jnp.tensordot(C.astype(jnp.float32), Sr, axes=1)
         Hi_all = jnp.tensordot(C.astype(jnp.float32), Si, axes=1)
@@ -201,18 +214,34 @@ def make_pallas_propagate(stack, dt: float, iters: int = 10,
             xr, xi = carry
             Hr, Hi, extra = H
             xr, xi = call(Hr, Hi, xr, xi)
-            return (xr, xi), _pen(_unpack(xr, xi, B, dtype), extra)
+            x = _unpack(xr, xi, B, dtype)
+            obs = obs_fn(x) if has_hist else ()
+            return (xr, xi), (_pen(x, extra), obs)
 
-        (xr, xi), pens = jax.lax.scan(body, (xr, xi), (Hr_all, Hi_all, extras))
+        (xr, xi), (pens, obs_hist) = jax.lax.scan(
+            body, (xr, xi), (Hr_all, Hi_all, extras))
         pen_sum = jax.tree.map(lambda p: jnp.sum(p, axis=0), pens)
-        return _unpack(xr, xi, B, dtype), pen_sum
+        if has_hist:
+            pen_hist = hist_penalty_fn(obs_hist, x0, extras)
+            if isinstance(pen_sum, dict) and isinstance(pen_hist, dict):
+                pen_sum = {**pen_sum, **pen_hist}
+            elif pen_sum == ():
+                pen_sum = pen_hist
+            else:
+                pen_sum = (pen_sum, pen_hist)
+        return _unpack(xr, xi, B, dtype), pen_sum, obs_hist
+
+    @jax.custom_vjp
+    def propagate(Sr, Si, x0, C, extras):
+        xT, pen_sum, _ = _run_forward(Sr, Si, x0, C, extras)
+        return xT, pen_sum
 
     def fwd(Sr, Si, x0, C, extras):
-        out = propagate(Sr, Si, x0, C, extras)
-        return out, (Sr, Si, out[0], C, extras, jnp.zeros_like(x0))
+        xT, pen_sum, obs_hist = _run_forward(Sr, Si, x0, C, extras)
+        return (xT, pen_sum), (Sr, Si, xT, C, extras, x0, obs_hist)
 
     def bwd(res, cots):
-        Sr, Si, xT, C, extras, x0_proto = res
+        Sr, Si, xT, C, extras, x0, obs_hist = res
         xT_bar, pen_bar = cots
         B, dtype = xT.shape[0], xT.dtype
 
@@ -222,29 +251,57 @@ def make_pallas_propagate(stack, dt: float, iters: int = 10,
         Bp = xr.shape[0]
         call = _bwd_call(Bp)
 
+        # split the penalty cotangent into per-step and history parts
+        pen_bar_step, pen_bar_hist, obs_bar, x0_hist_bar = pen_bar, (), None, None
+        if has_hist:
+            hist_shape = jax.eval_shape(
+                lambda oh, x0_: hist_penalty_fn(oh, x0_, extras), obs_hist, x0)
+            if isinstance(pen_bar, dict) and isinstance(hist_shape, dict):
+                hk = set(hist_shape.keys())
+                pen_bar_hist = {k: v for k, v in pen_bar.items() if k in hk}
+                pen_bar_step = {k: v for k, v in pen_bar.items() if k not in hk}
+            elif penalty_fn is None:
+                pen_bar_hist, pen_bar_step = pen_bar, ()
+            else:
+                pen_bar_step, pen_bar_hist = pen_bar
+            _, h_vjp = jax.vjp(
+                lambda oh, x0_: hist_penalty_fn(oh, x0_, extras), obs_hist, x0)
+            obs_bar, x0_hist_bar = h_vjp(pen_bar_hist)
+
         # incoming plane cotangents of the padded final state
         _, un_vjp = jax.vjp(lambda a, b: _unpack(a, b, B, dtype), xr, xi)
         gr, gi = un_vjp(xT_bar)
 
         def body(carry, inp):
             xr, xi, gr, gi = carry
-            Hr, Hi, extra = inp
+            Hr, Hi, extra, ob = inp
             if penalty_fn is not None:
                 # cotangent of the per-step penalty at the post-step state
                 _, p_vjp = jax.vjp(
                     lambda a, b: _pen(_unpack(a, b, B, dtype), extra), xr, xi)
-                pgr, pgi = p_vjp(pen_bar)
+                pgr, pgi = p_vjp(pen_bar_step)
                 gr = gr + pgr
                 gi = gi + pgi
+            if has_hist:
+                # cotangent of this step's observable contribution
+                _, o_vjp = jax.vjp(
+                    lambda a, b: obs_fn(_unpack(a, b, B, dtype)), xr, xi)
+                ogr, ogi = o_vjp(ob)
+                gr = gr + ogr
+                gi = gi + ogi
             xr, xi, gr, gi, Hbr, Hbi = call(Hr, Hi, xr, xi, gr, gi)
             return (xr, xi, gr, gi), (Hbr, Hbi)
 
         (xr0, xi0, gr, gi), (Hbr_all, Hbi_all) = jax.lax.scan(
-            body, (xr, xi, gr, gi), (Hr_all, Hi_all, extras), reverse=True)
+            body, (xr, xi, gr, gi),
+            (Hr_all, Hi_all, extras, obs_bar if has_hist else Hr_all[:, :1, :1]),
+            reverse=True)
 
         # chain the plane cotangents back to x0 and C
-        _, pk_vjp = jax.vjp(_pack, x0_proto)
+        _, pk_vjp = jax.vjp(_pack, jnp.zeros_like(x0))
         (x0_bar,) = pk_vjp((gr, gi))
+        if x0_hist_bar is not None:
+            x0_bar = x0_bar + x0_hist_bar
         C_bar = (jnp.einsum("npq,kpq->nk", Hbr_all, Sr)
                  + jnp.einsum("npq,kpq->nk", Hbi_all, Si)).astype(C.dtype)
 

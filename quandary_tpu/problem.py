@@ -250,8 +250,7 @@ class Problem:
                      and s.timestepper.upper() == "IMR"
                      and self.linsolver == "neumann"
                      and s.dtype == jnp.complex64
-                     and isinstance(self.engine, DenseEngine)
-                     and s.gamma_penalty_dpdm <= 1e-13)
+                     and isinstance(self.engine, DenseEngine))
         if s.pallas == "auto":
             self.use_pallas = pallas_ok and jax.default_backend() == "tpu"
         else:
@@ -510,11 +509,12 @@ class Problem:
         use_jt = self.jt_weight is not None and s.gamma_penalty > 1e-13
         use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
 
-        if self.use_pallas and not use_dpdm:
+        if self.use_pallas:
             # Fully-fused Pallas propagation with the hand-derived reversible
             # VJP (ops/pallas_adjoint.py): one kernel per step forward, one
             # per step backward, stack planes device-resident.
             from .ops.pallas_adjoint import make_pallas_propagate
+            B = self.ninit
 
             def penalty_fn(x, extra):
                 out = {}
@@ -527,21 +527,36 @@ class Problem:
                     out["jt"] = extra["wt"] * self.eval_J_per_state(x) * s.dt
                 return out
 
+            # dpdm is history-dependent: store per-step populations, evaluate
+            # the second-difference integral over the stacked history
+            # (matches the seeded scan accumulation, first step excluded).
+            def obs_fn(x):
+                return jnp.abs(x.reshape(B, -1)) ** 2
+
+            def hist_penalty_fn(pops, x0, extras):
+                pop0 = jnp.abs(x0.reshape(1, B, -1)) ** 2
+                pop = jnp.concatenate([pop0, pops], axis=0)
+                sec = pop[2:] - 2.0 * pop[1:-1] + pop[:-2]
+                return {"dpdm": jnp.sum(sec * sec, axis=(0, 2)) / s.dt ** 4}
+
             prop = make_pallas_propagate(
                 np.zeros((self.model.K, self.N, self.N), np.complex64),
                 s.dt, s.linsolve_iters,
                 penalty_fn if (use_leak or use_jt) else None,
+                obs_fn=obs_fn if use_dpdm else None,
+                hist_penalty_fn=hist_penalty_fn if use_dpdm else None,
                 interpret=self._pallas_interpret)
             extras = {"wt": jnp.asarray(self.jt_weight)} if use_jt else {}
             xT, pen = prop(jnp.asarray(self.engine.pallas_Sr),
                            jnp.asarray(self.engine.pallas_Si),
                            jnp.asarray(self.x0, dtype=s.dtype),
                            C[:, 0, :], extras)
+            has_pen = use_leak or use_jt or use_dpdm
             return self._assemble_objective(
                 params, params_ref, xT,
-                pen.get("leak") if (use_leak or use_jt) else None,
-                pen.get("jt") if (use_leak or use_jt) else None,
-                None, energy_int)
+                pen.get("leak") if has_pen else None,
+                pen.get("jt") if has_pen else None,
+                pen.get("dpdm") if has_pen else None, energy_int)
 
         # Reversible O(1)-memory adjoint: closed systems, IMR family, no
         # multi-state penalties (dpdm needs a state history).

@@ -111,7 +111,7 @@ def test_problem_objective_parity_pallas():
         oscillators=oscs, ground_freqs_radns=(4.1, 4.9),
         initcond_type="basis", target_type="pure",
         pure_target_levels=(1, 1), objective_type="Jfrobenius",
-        gamma_tik=1e-4, gamma_penalty=0.1,
+        gamma_tik=1e-4, gamma_penalty=0.1, gamma_penalty_dpdm=0.02,
         dtype=jnp.complex64, time_parallel=False)
 
     rng = np.random.default_rng(2)
