@@ -133,6 +133,58 @@ class GroupedEngine:
 
         self.K = K
 
+    def device_builders(self):
+        """jit thunks that assemble this engine's big arrays ON DEVICE from
+        KB-scale constants (see _group_ops_device). Used by
+        Problem._wrap_with_data to avoid shipping the (K, m, m) stacks over
+        the host->device link entirely."""
+        model, dims, s = self.model, self.model.dims, self.split
+        ndt = jnp.complex64 if self.dtype == jnp.complex64 else jnp.complex128
+        dimsL, dimsR = dims[:s], dims[s:]
+        out = {
+            "stackL": _group_ops_device(model, dimsL, 0, ndt),
+            "stackR": _group_ops_device(model, dimsR, s, ndt),
+        }
+        if self.crossA is not None:
+            idxs = [(k, l) for (k, l) in
+                    [model.jc_pairs[j] for j in self.cross_idx]]
+
+            @jax.jit
+            def buildA():
+                return jnp.stack([
+                    _embed_dev(lowering(dims[k]), k, dimsL, ndt).T
+                    for k, _l in idxs])
+
+            @jax.jit
+            def buildB():
+                return jnp.stack([
+                    _embed_dev(lowering(dims[l]), l - s, dimsR, ndt)
+                    for _k, l in idxs])
+
+            out["crossA"] = buildA
+            out["crossB"] = buildB
+        if self.cross_diag is not None:
+            rdt = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+            levelsL = [np.diag(embed(number(dimsL[k]), k, dimsL))
+                       for k in range(len(dimsL))]
+            levelsR = [np.diag(embed(number(dimsR[k]), k, dimsR))
+                       for k in range(len(dimsR))]
+            terms = [(-float(model.crosskerr[idx]), levelsL[k],
+                      levelsR[l - s])
+                     for idx, (k, l) in enumerate(coupling_pairs(model.n_osc))
+                     if k < s <= l and abs(model.crosskerr[idx]) > 1e-14]
+
+            @jax.jit
+            def buildD():
+                D = jnp.zeros((self.m1, self.m2), rdt)
+                for w, lv, rv in terms:
+                    D = D + w * jnp.outer(jnp.asarray(lv, rdt),
+                                          jnp.asarray(rv, rdt))
+                return D
+
+            out["cross_diag"] = buildD
+        return out
+
     def gen_diag(self):
         """Elementwise generator diagonal -i*H_diag, flat (N,) numpy."""
         from ..utils.operators import drift_diagonal
@@ -207,6 +259,69 @@ class GroupedEngine:
             Yr = Yr + zr * t1r - zi * t1i + zr * t2r + zi * t2i
             Yi = Yi + zr * t1i + zi * t1r + zr * t2i - zi * t2r
         return Yr, Yi
+
+
+def _embed_dev(op, axis, dims, dtype):
+    """Device-side embed: kron(I_before, op, I_after) with jnp.kron under jit.
+    Inputs are tiny (d, d) matrices; the (m, m) result materializes in HBM
+    without any host->device transfer."""
+    M = jnp.asarray(op, dtype)
+    nb = int(np.prod(dims[:axis])) if axis > 0 else 1
+    na = int(np.prod(dims[axis + 1:])) if axis + 1 < len(dims) else 1
+    if nb > 1:
+        M = jnp.kron(jnp.eye(nb, dtype=dtype), M)
+    if na > 1:
+        M = jnp.kron(M, jnp.eye(na, dtype=dtype))
+    return M
+
+
+def _group_ops_device(model: StructuredModel, dims_g, offset, dtype):
+    """jit-compiled on-device twin of GroupedEngine.group_ops: assembles the
+    (K, m, m) group-local operator stack from (d, d) single-mode factors.
+    Total host->device traffic is a few KB of small constants — the
+    full-stack transfer (hundreds of MB at m ~ 1024) never happens."""
+    Q = model.n_osc
+    K = model.K
+    Qg = len(dims_g)
+    m = int(np.prod(dims_g))
+
+    @jax.jit
+    def build():
+        a_g = [_embed_dev(lowering(dims_g[k]), k, dims_g, dtype)
+               for k in range(Qg)]
+        n_g = [_embed_dev(number(dims_g[k]), k, dims_g, dtype)
+               for k in range(Qg)]
+        slots = {}
+
+        def add(idx, M):
+            slots[idx] = slots.get(idx, 0) + M
+
+        for k in range(Qg):
+            gk = offset + k
+            nk = n_g[k]
+            # python-float scalars: numpy strong-typed scalars would upcast
+            # the c64 stack to c128 under x64
+            add(0, float(model.detune[gk]) * nk
+                - float(model.selfkerr[gk]) / 2.0 * (nk @ nk - nk))
+            add(1 + gk, a_g[k] + a_g[k].T)
+            add(1 + Q + gk, 1j * (a_g[k] - a_g[k].T))
+        for idx, (k, l) in enumerate(coupling_pairs(Q)):
+            both = (offset <= k < offset + Qg) and (offset <= l < offset + Qg)
+            if both and abs(model.crosskerr[idx]) > 1e-14:
+                add(0, -float(model.crosskerr[idx])
+                    * (n_g[k - offset] @ n_g[l - offset]))
+        for j, (k, l) in enumerate(model.jc_pairs):
+            if (offset <= k < offset + Qg) and (offset <= l < offset + Qg):
+                akd_al = a_g[k - offset].T @ a_g[l - offset]
+                ak_ald = a_g[k - offset] @ a_g[l - offset].T
+                J = float(model.jkl[j])
+                add(1 + 2 * Q + j, J * (akd_al + ak_ald))
+                add(1 + 2 * Q + model.n_jc + j, J * 1j * (akd_al - ak_ald))
+
+        zero = jnp.zeros((m, m), dtype)
+        return jnp.stack([slots.get(k2, zero) for k2 in range(K)])
+
+    return build
 
 
 def make_real_imr_step(engine: "GroupedEngine", dt: float, iters: int):

@@ -36,18 +36,65 @@ from .utils.indexing import guard_mask
 from .utils.splines import ControlEvalPlan, OscillatorControl, build_control_plan
 
 
-def _chunked_device_put(v: np.ndarray, max_bytes: int = 4 << 20):
+def _relay_retry(fn, attempts: int = 7):
+    """Run a device-touching thunk with exponential backoff: remote-attached
+    devices (TPU behind a relay tunnel) transiently reject requests under
+    load/rapid sequences; a wait and retry recovers."""
+    import time
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001 - relay errors are opaque
+            if a == attempts - 1:
+                raise
+            time.sleep(2.0 ** a)
+
+
+def _put_retry(piece, attempts: int = 7):
+    return _relay_retry(lambda: jax.device_put(piece), attempts)
+
+
+def _sparse_device_put(v: np.ndarray, density_thresh: float = 0.01,
+                       max_nnz: int = 1 << 16):
+    """Materialize a sparse host array on device by scattering its nonzeros
+    from a tiny embedded (indices, values) pair — e.g. basis/pure initial
+    state batches and permutation-gate target batches, which are one-hot at
+    any dimension. Returns None when the array is too dense."""
+    flat = np.ascontiguousarray(v).reshape(-1)
+    nz = np.flatnonzero(flat)
+    if nz.size > density_thresh * flat.size or nz.size > max_nnz:
+        return None
+    vals = flat[nz]
+
+    def build():
+        return jnp.zeros(flat.shape, v.dtype).at[jnp.asarray(nz)].set(
+            jnp.asarray(vals)).reshape(v.shape)
+
+    return _relay_retry(jax.jit(build))
+
+
+def _chunked_device_put(v: np.ndarray, max_bytes: int = 128 << 20):
     """device_put that splits arrays larger than `max_bytes` into flat chunks
-    transferred separately and reassembled on device. Remote-attached devices
-    (e.g. a TPU behind a relay tunnel) can reject single oversized host->device
-    transfers outright; chunking keeps each message bounded while the
-    reassembled array stays device-resident."""
+    transferred separately (with retry) and reassembled on device, bounding
+    the size of any single transfer message."""
     if v.nbytes <= max_bytes:
-        return jax.device_put(v)
-    flat = v.reshape(-1)
+        return _put_retry(v)
+    flat = np.ascontiguousarray(v).reshape(-1)
     n_chunks = -(-v.nbytes // max_bytes)
-    pieces = [jax.device_put(c) for c in np.array_split(flat, n_chunks)]
-    return jnp.concatenate(pieces).reshape(v.shape)
+    # assemble in place with a donated buffer: a single wide concatenate of
+    # all pieces is one more oversized request, and non-donated updates would
+    # copy the full buffer per piece
+    # no donation: a rejected donated call can consume the buffer, making a
+    # retry unsafe; at this chunk size the copy per update is negligible
+    upd = jax.jit(lambda b, p, i: jax.lax.dynamic_update_slice(b, p, (i,)))
+    buf = _relay_retry(lambda: jax.jit(lambda: jnp.zeros(flat.shape,
+                                                         flat.dtype))())
+    off = 0
+    for piece in np.array_split(flat, n_chunks):
+        p = _put_retry(piece)
+        buf = _relay_retry(lambda: upd(buf, p, off))
+        off += piece.size
+    return buf.reshape(v.shape)
 
 
 @dataclasses.dataclass
@@ -665,12 +712,26 @@ class Problem:
 
     def _wrap_with_data(self, fn):
         """Return a jitted fn(*args) with big arrays threaded as arguments
-        (device-resident between calls)."""
+        (device-resident between calls). Per array, the cheapest materialization
+        wins: an engine-provided on-device builder (zero transfer), a sparse
+        scatter (indices+values only), or a chunked host transfer."""
         slots = self._big_slots()
         if not slots:
             return jax.jit(fn)
-        host_vals = {name: np.asarray(getattr(h, name)) for h, name in slots}
-        dev_vals = {name: _chunked_device_put(v) for name, v in host_vals.items()}
+        builders = {}
+        for h, _name in slots:
+            get_b = getattr(h, "device_builders", None)
+            if get_b is not None and id(h) not in builders:
+                builders[id(h)] = get_b()
+        dev_vals = {}
+        for h, name in slots:
+            b = builders.get(id(h), {}).get(name)
+            if b is not None:
+                dev_vals[name] = _relay_retry(b)
+                continue
+            arr = np.asarray(getattr(h, name))
+            dev = _sparse_device_put(arr)
+            dev_vals[name] = dev if dev is not None else _chunked_device_put(arr)
 
         def traced(data, *args):
             saved = {}

@@ -109,3 +109,31 @@ def test_permutation_gate_matches_dense():
         got = gates.apply_permutation_gate_to_states(
             name, r0, nlv, ness, rot, T, lindblad=True)
         np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_chunked_device_put_exact():
+    """_chunked_device_put must reassemble byte-exactly (relay transfer-size
+    workaround, problem.py)."""
+    import numpy as np
+
+    from quandary_tpu.problem import _chunked_device_put
+
+    rng = np.random.default_rng(0)
+    v = (rng.normal(size=(7, 123, 55))
+         + 1j * rng.normal(size=(7, 123, 55))).astype(np.complex64)
+    out = np.asarray(_chunked_device_put(v, max_bytes=1 << 16))
+    assert np.array_equal(out, v)
+
+
+def test_sparse_device_put():
+    import numpy as np
+
+    from quandary_tpu.problem import _sparse_device_put
+
+    v = np.zeros((4, 1000), np.complex64)
+    v[0, 3] = 1.5 + 2j
+    v[3, 999] = -0.5j
+    out = _sparse_device_put(v)
+    assert out is not None and np.array_equal(np.asarray(out), v)
+    dense = np.ones((4, 1000), np.complex64)
+    assert _sparse_device_put(dense) is None

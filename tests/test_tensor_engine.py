@@ -151,3 +151,29 @@ def test_real_imr_step_matches_complex():
     yr, yi = step_r(Xr, Xi, jnp.ones((m.K,)))
     y_r = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(2, N)
     assert np.abs(y_c - y_r).max() < 1e-11, np.abs(y_c - y_r).max()
+
+
+def test_grouped_device_builders_match_host():
+    """On-device kron assembly (zero-transfer path) == host-built arrays."""
+    from quandary_tpu.ops.grouped_rhs import GroupedEngine
+
+    args = dict(
+        nlevels=[3, 4, 2, 3],
+        freq01_ghz=[4.1, 5.0, 3.3, 4.4],
+        rotfreq_ghz=[4.0, 4.9, 3.35, 4.38],
+        selfkerr_ghz=[0.22, 0.1, 0.15, 0.18],
+        crosskerr_ghz=[0.01, 0.002, 0.005, 0.003, 0.004, 0.006],
+        jkl_ghz=[0.004, 0.0, 0.006, 0.002, 0.0, 0.003],
+    )
+    m = build_structured_model(**args)
+    for dtype in (jnp.complex64, jnp.complex128):
+        eng = GroupedEngine(m, dtype=dtype)
+        built = {k: np.asarray(f()) for k, f in eng.device_builders().items()}
+        for name in ("stackL", "stackR", "crossA", "crossB", "cross_diag"):
+            host = getattr(eng, name)
+            if host is None:
+                assert name not in built
+                continue
+            dev = built[name]
+            scale = max(np.abs(host).max(), 1e-300)
+            assert np.abs(dev - np.asarray(host)).max() < 1e-6 * scale, name
