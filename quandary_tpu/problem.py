@@ -152,6 +152,10 @@ class Setup:
     # True forces, False disables (sequential lax.scan).
     time_parallel: object = "auto"
     time_parallel_budget: int = 1 << 27        # max ntime * dim^2 elements
+    # RHS engine: 'auto' picks dense (HamiltonianModel) / tensor
+    # (StructuredModel) / grouped (large Schroedinger StructuredModel);
+    # 'tensor' | 'grouped' force a StructuredModel engine explicitly.
+    engine: str = "auto"
 
     @property
     def total_time(self) -> float:
@@ -180,7 +184,10 @@ class Problem:
         # per-axis contractions (StructuredModel) ---
         from .ops.tensor_rhs import StructuredModel, TensorEngine
         if isinstance(model, StructuredModel):
-            if not model.lindblad and model.N >= 1 << 15:
+            use_grouped = (s.engine == "grouped" or (
+                s.engine == "auto" and not model.lindblad
+                and model.N >= 1 << 15))
+            if use_grouped and not model.lindblad and len(model.dims) >= 2:
                 # large Schroedinger systems: matricized big-GEMM engine
                 from .ops.grouped_rhs import GroupedEngine
                 self.engine = GroupedEngine(model, dtype=s.dtype)
@@ -631,15 +638,50 @@ class Problem:
                     out["jt"] = extra["wt"] * self.eval_J_per_state(x) * s.dt
                 return out
 
-            prop = make_reversible_propagate(
-                self.step_fn, step_bwd,
-                penalty_fn if (use_leak or use_jt) else None)
             extras = {"wt": jnp.asarray(self.jt_weight)} if use_jt else {}
-            xT, pen = prop(jnp.asarray(self.x0, dtype=s.dtype), C, extras)
+            use_pen = use_leak or use_jt
+
+            from .ops.grouped_rhs import GroupedEngine as _GE
+            real_grouped = (isinstance(self.engine, _GE)
+                            and s.timestepper.upper() == "IMR"
+                            and self.gen_diag is not None)
+            if real_grouped:
+                # All-REAL grouped reversible adjoint: the state is carried
+                # as f32/f64 (re, im) planes and every product in both the
+                # forward step and its AD transpose is a real GEMM
+                # (ops/grouped_rhs.make_real_imr_step). Cuts the adjoint
+                # sweep cost vs differentiating the complex-arithmetic step.
+                from .ops.grouped_rhs import make_real_imr_step
+                eng = self.engine
+                B = self.ninit
+                rstep_f = make_real_imr_step(eng, s.dt, s.linsolve_iters)
+                rstep_b = make_real_imr_step(eng, -s.dt, s.linsolve_iters)
+                step_fwd_r = lambda x, c: tuple(rstep_f(x[0], x[1], c[0]))
+                step_bwd_r = lambda x, c: tuple(rstep_b(x[0], x[1], c[0]))
+                rdt = jnp.float32 if s.dtype == jnp.complex64 else jnp.float64
+
+                def to_complex(x):
+                    return jax.lax.complex(x[0], x[1]).reshape(
+                        B, self.N).astype(s.dtype)
+
+                prop = make_reversible_propagate(
+                    step_fwd_r, step_bwd_r,
+                    (lambda x, extra: penalty_fn(to_complex(x), extra))
+                    if use_pen else None)
+                x0c = jnp.asarray(self.x0, dtype=s.dtype).reshape(
+                    B, eng.m1, eng.m2)
+                x0p = (jnp.real(x0c).astype(rdt), jnp.imag(x0c).astype(rdt))
+                xTp, pen = prop(x0p, C, extras)
+                xT = to_complex(xTp)
+            else:
+                prop = make_reversible_propagate(
+                    self.step_fn, step_bwd,
+                    penalty_fn if use_pen else None)
+                xT, pen = prop(jnp.asarray(self.x0, dtype=s.dtype), C, extras)
             return self._assemble_objective(
                 params, params_ref, xT,
-                pen.get("leak") if (use_leak or use_jt) else None,
-                pen.get("jt") if (use_leak or use_jt) else None,
+                pen.get("leak") if use_pen else None,
+                pen.get("jt") if use_pen else None,
                 None, energy_int)
 
         B = self.ninit

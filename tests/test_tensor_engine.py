@@ -177,3 +177,56 @@ def test_grouped_device_builders_match_host():
             dev = built[name]
             scale = max(np.abs(host).max(), 1e-300)
             assert np.abs(dev - np.asarray(host)).max() < 1e-6 * scale, name
+
+
+def test_grouped_real_reversible_gradient_parity():
+    """Problem-level: all-real grouped reversible adjoint == remat AD of the
+    complex step (engine='grouped' forced at small N)."""
+    import dataclasses
+
+    import jax
+
+    from quandary_tpu.problem import Problem, Setup
+    from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
+
+    args = dict(
+        nlevels=[3, 3, 2],
+        freq01_ghz=[4.1, 5.0, 3.3],
+        rotfreq_ghz=[4.09, 4.99, 3.31],
+        selfkerr_ghz=[0.22, 0.1, 0.15],
+        crosskerr_ghz=[0.01, 0.0, 0.005],
+        jkl_ghz=[0.004, 0.002, 0.003],
+    )
+    m = build_structured_model(**args)
+    T, ntime = 3.0, 12
+    oscs = tuple(
+        OscillatorControl(
+            segments=(ControlSegment("spline", nsplines=4, tstart=0.0,
+                                     tstop=T),),
+            carrier_freqs=(0.0,)) for _ in range(3))
+    base = Setup(
+        model=m, nessential=(3, 3, 2), ntime=ntime, dt=T / ntime,
+        linsolve_iters=15, oscillators=oscs,
+        ground_freqs_radns=(4.1, 5.0, 3.3),
+        initcond_type="pure", pure_levels=(0, 0, 0),
+        target_type="pure", pure_target_levels=(1, 0, 0),
+        objective_type="Jfrobenius", gamma_tik=1e-4, gamma_penalty=0.05,
+        dtype=jnp.complex128, engine="grouped")
+
+    rng = np.random.default_rng(5)
+    params = jnp.asarray(rng.normal(size=base.nparams) * 0.02)
+    ref = jnp.zeros_like(params)
+
+    outs = {}
+    for adj in ("reversible", "remat"):
+        prob = Problem(dataclasses.replace(base, adjoint=adj))
+        from quandary_tpu.ops.grouped_rhs import GroupedEngine
+        assert isinstance(prob.engine, GroupedEngine)
+        (J, aux), g = jax.value_and_grad(prob.objective, has_aux=True)(
+            params, ref)
+        outs[adj] = (float(J), np.asarray(g))
+
+    J1, g1 = outs["reversible"]
+    J2, g2 = outs["remat"]
+    assert abs(J1 - J2) < 1e-9 * max(1.0, abs(J2)), (J1, J2)
+    assert np.abs(g1 - g2).max() < 1e-7 * max(np.abs(g2).max(), 1e-12)
