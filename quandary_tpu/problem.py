@@ -521,12 +521,12 @@ class Problem:
             return sv.reshape(s.ntime, self.ninit, self.N, self.N).swapaxes(-1, -2)
         return propagate_states(P, jnp.asarray(self.x0))
 
-    def _objective_time_parallel(self, params, params_ref):
+    def _history_penalties(self, states):
+        """Vectorized integral penalties over a full state history
+        (T, B, ...): guard leakage, weighted-J window, and the population
+        second-difference (dpdm). One fused XLA op each — used by the
+        time-parallel and fused-Pallas paths."""
         s = self.setup
-        states = self._all_states_time_parallel(params)     # (T, B, ...)
-        xT = states[-1]
-        energy_int = self._energy_integral(params)
-
         use_leak = self.has_guard and s.gamma_penalty > 1e-13
         use_jt = self.jt_weight is not None and s.gamma_penalty > 1e-13
         use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
@@ -550,7 +550,13 @@ class Problem:
             pop = jnp.concatenate([pop0, popt], axis=0)      # (T+1, B, dim)
             sec = pop[2:] - 2.0 * pop[1:-1] + pop[:-2]
             pen_dpdm_b = jnp.sum(sec * sec, axis=(0, 2)) / s.dt ** 4
+        return pen_leak_b, pen_jt_b, pen_dpdm_b
 
+    def _objective_time_parallel(self, params, params_ref):
+        states = self._all_states_time_parallel(params)     # (T, B, ...)
+        xT = states[-1]
+        energy_int = self._energy_integral(params)
+        pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(states)
         return self._assemble_objective(params, params_ref, xT, pen_leak_b,
                                         pen_jt_b, pen_dpdm_b, energy_int)
 
@@ -564,53 +570,23 @@ class Problem:
         use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
 
         if self.use_pallas:
-            # Fully-fused Pallas propagation with the hand-derived reversible
-            # VJP (ops/pallas_adjoint.py): one kernel per step forward, one
-            # per step backward, stack planes device-resident.
+            # Fused multi-step Pallas propagation (ops/pallas_adjoint.py):
+            # one kernel per Tc-step chunk in each direction, state history
+            # stored (storeFWD analog) so every integral penalty is one
+            # vectorized op whose gradient flows through the kernel VJP.
             from .ops.pallas_adjoint import make_pallas_propagate
-            B = self.ninit
-
-            def penalty_fn(x, extra):
-                out = {}
-                if use_leak:
-                    d2 = jnp.abs(self._diag(x)) ** 2
-                    out["leak"] = jnp.sum(
-                        d2 * jnp.asarray(self.guard_mask)[None, :],
-                        axis=1) / s.ntime
-                if use_jt:
-                    out["jt"] = extra["wt"] * self.eval_J_per_state(x) * s.dt
-                return out
-
-            # dpdm is history-dependent: store per-step populations, evaluate
-            # the second-difference integral over the stacked history
-            # (matches the seeded scan accumulation, first step excluded).
-            def obs_fn(x):
-                return jnp.abs(x.reshape(B, -1)) ** 2
-
-            def hist_penalty_fn(pops, x0, extras):
-                pop0 = jnp.abs(x0.reshape(1, B, -1)) ** 2
-                pop = jnp.concatenate([pop0, pops], axis=0)
-                sec = pop[2:] - 2.0 * pop[1:-1] + pop[:-2]
-                return {"dpdm": jnp.sum(sec * sec, axis=(0, 2)) / s.dt ** 4}
-
             prop = make_pallas_propagate(
                 np.zeros((self.model.K, self.N, self.N), np.complex64),
                 s.dt, s.linsolve_iters,
-                penalty_fn if (use_leak or use_jt) else None,
-                obs_fn=obs_fn if use_dpdm else None,
-                hist_penalty_fn=hist_penalty_fn if use_dpdm else None,
                 interpret=self._pallas_interpret)
-            extras = {"wt": jnp.asarray(self.jt_weight)} if use_jt else {}
-            xT, pen = prop(jnp.asarray(self.engine.pallas_Sr),
-                           jnp.asarray(self.engine.pallas_Si),
-                           jnp.asarray(self.x0, dtype=s.dtype),
-                           C[:, 0, :], extras)
-            has_pen = use_leak or use_jt or use_dpdm
+            xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
+                            jnp.asarray(self.engine.pallas_Si),
+                            jnp.asarray(self.x0, dtype=s.dtype),
+                            C[:, 0, :])
+            pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(hist)
             return self._assemble_objective(
                 params, params_ref, xT,
-                pen.get("leak") if has_pen else None,
-                pen.get("jt") if has_pen else None,
-                pen.get("dpdm") if has_pen else None, energy_int)
+                pen_leak_b, pen_jt_b, pen_dpdm_b, energy_int)
 
         # Reversible O(1)-memory adjoint: closed systems, IMR family, no
         # multi-state penalties (dpdm needs a state history).

@@ -1,7 +1,7 @@
-"""Trainable Pallas path: the fused step-VJP kernel must reproduce plain
-reverse-mode AD of the identical truncated-Neumann IMR step (interpret mode
-on CPU). The only permitted difference is the -dt reconstruction error,
-negligible at dt*lambda << 1."""
+"""Fused multi-step Pallas path: the chunked step/VJP kernels must reproduce
+plain reverse-mode AD of the identical truncated-Neumann IMR math (interpret
+mode on CPU), including gradients flowing through the state HISTORY output
+(integral penalties)."""
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +20,8 @@ def _random_hermitian_stack(rng, K, N):
 
 
 def _reference_propagate(stack, dt, iters):
-    """Pure-jnp replica of the kernel math (same truncation), for ground-truth
-    AD."""
+    """Pure-jnp replica of the kernel math (same truncation), returning the
+    full history, for ground-truth AD."""
     S = jnp.asarray(stack.astype(np.complex64))
 
     def step(x, c):
@@ -38,40 +38,48 @@ def _reference_propagate(stack, dt, iters):
 
     def prop(x0, C):
         def body(x, c):
-            return step(x, c), ()
+            x = step(x, c)
+            return x, x
 
-        xT, _ = jax.lax.scan(body, x0, C)
-        return xT
+        xT, hist = jax.lax.scan(body, x0, C)
+        return xT, hist
 
     return prop
 
 
-@pytest.mark.parametrize("N,B", [(6, 3), (12, 5)])
-def test_gradient_matches_plain_ad(N, B):
+@pytest.mark.parametrize("N,B,ntime", [(6, 3, 9), (12, 5, 8)])
+def test_gradient_matches_plain_ad(N, B, ntime):
+    """ntime values chosen to exercise the chunk-remainder (identity-step
+    padding) path."""
     rng = np.random.default_rng(7)
-    K, ntime, dt, iters = 4, 9, 0.02, 8
+    K, dt, iters = 4, 0.02, 8
     stack = _random_hermitian_stack(rng, K, N)
     C = rng.normal(size=(ntime, K)).astype(np.float64) * 0.7
     x0 = rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
     x0 = (x0 / np.linalg.norm(x0, axis=1, keepdims=True)).astype(np.complex64)
     tgt = rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
     tgt = jnp.asarray(tgt.astype(np.complex64))
+    w = jnp.asarray(rng.normal(size=(ntime,)).astype(np.float32))
 
     prop = make_pallas_propagate(stack, dt, iters, interpret=True)
     Sr, Si = plane_args(stack)
     Sr, Si = jnp.asarray(Sr), jnp.asarray(Si)
 
-    def loss_pl(C, x0):
-        xT, _ = prop(Sr, Si, jnp.asarray(x0), C, {})
+    def full_loss(xT, hist):
         ov = jnp.sum(jnp.conj(tgt) * xT, axis=1)
-        return jnp.sum(jnp.abs(ov) ** 2)
+        # history-dependent term: weighted norm-in-window integral
+        hw = jnp.sum(w[:, None, None] * jnp.abs(hist) ** 2)
+        return jnp.sum(jnp.abs(ov) ** 2) + 0.25 * hw
+
+    def loss_pl(C, x0):
+        xT, hist = prop(Sr, Si, jnp.asarray(x0), C)
+        return full_loss(xT, hist)
 
     ref_prop = _reference_propagate(stack, dt, iters)
 
     def loss_ref(C, x0):
-        xT = ref_prop(jnp.asarray(x0), C.astype(jnp.float32))
-        ov = jnp.sum(jnp.conj(tgt) * xT, axis=1)
-        return jnp.sum(jnp.abs(ov) ** 2)
+        xT, hist = ref_prop(jnp.asarray(x0), C.astype(jnp.float32))
+        return full_loss(xT, hist)
 
     Cj = jnp.asarray(C)
     v_pl, (gC_pl, gx_pl) = jax.value_and_grad(loss_pl, argnums=(0, 1))(Cj, x0)
@@ -87,9 +95,34 @@ def test_gradient_matches_plain_ad(N, B):
     assert np.abs(gx_pl - gx_rf).max() < 2e-4 * sx
 
 
+def test_vmap_over_candidates():
+    """The ensemble axis: vmap(value_and_grad) over control candidates."""
+    rng = np.random.default_rng(0)
+    K, N, B, ntime = 3, 6, 2, 5
+    stack = _random_hermitian_stack(rng, K, N)
+    prop = make_pallas_propagate(stack, 0.02, 6, interpret=True)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    x0 = jnp.asarray((rng.normal(size=(B, N))
+                      + 1j * rng.normal(size=(B, N))).astype(np.complex64))
+    Cs = jnp.asarray(rng.normal(size=(4, ntime, K)).astype(np.float32))
+
+    def loss(C):
+        xT, hist = prop(Sr, Si, x0, C)
+        return (jnp.sum(jnp.abs(xT) ** 2 * jnp.arange(N)[None, :])
+                + 0.1 * jnp.sum(jnp.abs(hist[:, :, -1]) ** 2))
+
+    v, g = jax.vmap(jax.value_and_grad(loss))(Cs)
+    assert v.shape == (4,) and g.shape == Cs.shape
+    assert np.isfinite(np.asarray(v)).all()
+    # per-candidate results match unbatched evaluation
+    v0, g0 = jax.value_and_grad(loss)(Cs[2])
+    assert abs(float(v[2]) - float(v0)) < 1e-5
+    assert np.abs(np.asarray(g[2] - g0)).max() < 1e-5
+
+
 def test_problem_objective_parity_pallas():
     """Problem with pallas=True (interpret) must match pallas=False on value
-    and gradient, including guard-leakage penalty."""
+    and gradient, including guard-leakage and dpdm penalties."""
     import dataclasses
 
     from quandary_tpu.models.hamiltonian import build_standard_model
@@ -131,56 +164,3 @@ def test_problem_objective_parity_pallas():
     J1, g1 = outs[True]
     assert abs(J1 - J0) < 5e-6 * max(1.0, abs(J0))
     assert np.abs(g1 - g0).max() < 5e-5 * max(np.abs(g0).max(), 1e-12)
-
-
-def test_gradient_with_penalty_matches_reversible():
-    """Penalty accumulation (leakage-style per-step sums) against the generic
-    reversible adjoint on the same step function."""
-    from quandary_tpu.ops.reversible import make_reversible_propagate
-
-    rng = np.random.default_rng(11)
-    K, N, B, ntime, dt, iters = 3, 8, 2, 7, 0.03, 8
-    stack = _random_hermitian_stack(rng, K, N)
-    C = jnp.asarray(rng.normal(size=(ntime, K)) * 0.5)
-    x0 = rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
-    x0 = jnp.asarray((x0 / np.linalg.norm(x0, axis=1, keepdims=True))
-                     .astype(np.complex64))
-    mask = jnp.asarray((np.arange(N) >= N - 2).astype(np.float32))
-
-    def penalty_fn(x, extra):
-        return {"leak": jnp.sum(jnp.abs(x) ** 2 * mask[None, :], axis=1)}
-
-    prop_pl = make_pallas_propagate(stack, dt, iters, penalty_fn=penalty_fn,
-                                    interpret=True)
-    Sr, Si = plane_args(stack)
-    Sr, Si = jnp.asarray(Sr), jnp.asarray(Si)
-
-    S = jnp.asarray(stack.astype(np.complex64))
-
-    def step(x, c, dtl):
-        H = jnp.tensordot(c.astype(jnp.complex64), S, axes=1)
-
-        def matvec(v):
-            return -1j * (v @ H.T)
-
-        b = matvec(x)
-        k = b
-        for _ in range(iters):
-            k = b + (dtl / 2.0) * matvec(k)
-        return x + dtl * k
-
-    prop_rv = make_reversible_propagate(
-        lambda x, c: step(x, c, dt), lambda x, c: step(x, c, -dt), penalty_fn)
-
-    def loss(prop, C, with_planes):
-        if with_planes:
-            xT, pen = prop(Sr, Si, x0, C, {})
-        else:
-            xT, pen = prop(x0, C.astype(jnp.float32), {})
-        return jnp.sum(jnp.abs(xT[:, 0]) ** 2) + 0.3 * jnp.sum(pen["leak"])
-
-    v1, g1 = jax.value_and_grad(lambda C: loss(prop_pl, C, True))(C)
-    v2, g2 = jax.value_and_grad(lambda C: loss(prop_rv, C, False))(C)
-    assert abs(float(v1) - float(v2)) < 1e-5
-    g1, g2 = np.asarray(g1), np.asarray(g2)
-    assert np.abs(g1 - g2).max() < 2e-4 * max(np.abs(g2).max(), 1e-12)

@@ -190,26 +190,26 @@ def test_grouped_real_reversible_gradient_parity():
     from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
 
     args = dict(
-        nlevels=[3, 3, 2],
-        freq01_ghz=[4.1, 5.0, 3.3],
-        rotfreq_ghz=[4.09, 4.99, 3.31],
-        selfkerr_ghz=[0.22, 0.1, 0.15],
-        crosskerr_ghz=[0.01, 0.0, 0.005],
-        jkl_ghz=[0.004, 0.002, 0.003],
+        nlevels=[3, 3],
+        freq01_ghz=[4.1, 5.0],
+        rotfreq_ghz=[4.09, 4.99],
+        selfkerr_ghz=[0.22, 0.1],
+        crosskerr_ghz=[0.01],
+        jkl_ghz=[0.004],
     )
     m = build_structured_model(**args)
-    T, ntime = 3.0, 12
+    T, ntime = 2.0, 8
     oscs = tuple(
         OscillatorControl(
-            segments=(ControlSegment("spline", nsplines=4, tstart=0.0,
+            segments=(ControlSegment("spline", nsplines=3, tstart=0.0,
                                      tstop=T),),
-            carrier_freqs=(0.0,)) for _ in range(3))
+            carrier_freqs=(0.0,)) for _ in range(2))
     base = Setup(
-        model=m, nessential=(3, 3, 2), ntime=ntime, dt=T / ntime,
+        model=m, nessential=(3, 3), ntime=ntime, dt=T / ntime,
         linsolve_iters=15, oscillators=oscs,
-        ground_freqs_radns=(4.1, 5.0, 3.3),
-        initcond_type="pure", pure_levels=(0, 0, 0),
-        target_type="pure", pure_target_levels=(1, 0, 0),
+        ground_freqs_radns=(4.1, 5.0),
+        initcond_type="pure", pure_levels=(0, 0),
+        target_type="pure", pure_target_levels=(1, 0),
         objective_type="Jfrobenius", gamma_tik=1e-4, gamma_penalty=0.05,
         dtype=jnp.complex128, engine="grouped")
 
