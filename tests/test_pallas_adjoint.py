@@ -47,10 +47,10 @@ def _reference_propagate(stack, dt, iters):
     return prop
 
 
-@pytest.mark.parametrize("N,B,ntime", [(6, 3, 9), (12, 5, 8)])
+@pytest.mark.parametrize("N,B,ntime", [(6, 3, 19), (12, 5, 8)])
 def test_gradient_matches_plain_ad(N, B, ntime):
-    """ntime values chosen to exercise the chunk-remainder (identity-step
-    padding) path."""
+    """ntime=19 > chunk length 16 exercises multi-chunk scanning AND the
+    chunk-remainder (identity-step padding) path; ntime=8 stays single-chunk."""
     rng = np.random.default_rng(7)
     K, dt, iters = 4, 0.02, 8
     stack = _random_hermitian_stack(rng, K, N)
