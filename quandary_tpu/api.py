@@ -296,7 +296,9 @@ class Quandary:
 
         # --- initial condition ---
         ic_str = str(self.initialcondition)
-        parts = [s.strip() for s in ic_str.split(",")]
+        # tolerate trailing commas ("pure, 1, 0, " — the reference's own
+        # spinchain example builds the string that way)
+        parts = [s.strip() for s in ic_str.split(",") if s.strip() != ""]
         ic_type = parts[0]
         pure_levels = None
         init_state = None

@@ -112,12 +112,3 @@ def state_population(x, lindblad: bool):
     return jnp.abs(x) ** 2
 
 
-def state_diag_abs2(x, lindblad: bool):
-    """|diag element|^2 per level: |psi_i|^2... squared? No —
-    the leakage penalty sums |x_ii|^2 where x_ii is the complex diag entry of
-    rho (Lindblad) or the component psi_i (Schroedinger)
-    (timestepper.cpp:276-295)."""
-    if lindblad:
-        d = jnp.diagonal(x, axis1=-2, axis2=-1)
-        return jnp.abs(d) ** 2
-    return jnp.abs(x) ** 2

@@ -107,10 +107,7 @@ def run_optimization(
             penalty_energy=aux["obj_penal_energy"],
             penalty_variation=aux["obj_penal_variation"],
         )
-        if it % monitor_freq == 0:
-            history.append(row)
-        else:
-            history.append(row)  # keep all rows; file writer decimates
+        history.append(row)  # keep all rows; file writer decimates
         if verbose and it % monitor_freq == 0:
             print(f"{it}  Objective {f:.14e}  Fidelity {aux['fidelity']:.8f}"
                   f"  ||Pr(grad)|| {gnorm:.6e}")

@@ -235,6 +235,7 @@ def minimize_lbfgsb(
     for it in range(maxiter + 1):
         pg = _projected_grad(x, g, lb, ub)
         gnorm = np.linalg.norm(pg)
+        history.append({"iter": it, "f": f, "gnorm": gnorm, "step": step})
         if callback is not None:
             stop = callback(it, x, f, gnorm, step, aux)
             if stop:

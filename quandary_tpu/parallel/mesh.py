@@ -6,19 +6,26 @@ Axes:
   propagation of different initial states is embarrassingly parallel; the
   objective/fidelity/gradient reductions become XLA `psum`s over this axis,
   inserted automatically by GSPMD from the sharding annotations.
-* ``hilbert`` — state-dimension parallelism (comm_petsc). For the dense
-  engine the state batch is sharded along its last axis and the H(t) matmuls
-  become distributed GEMMs; for the tensor engine the largest tensor axis is
-  sharded (see ops/tensor_rhs.py).
+* ``hilbert`` — state-dimension parallelism (comm_petsc, the reference's
+  MPIAIJ row distribution, mastereq.cpp:192-655). Engine-dependent layout
+  (Problem.state_sharding_spec):
+    - DenseEngine:   state (B, N) sharded on N; Lindblad (B, N, N) on the
+      last axis. The H(t) matmuls become distributed GEMMs.
+    - GroupedEngine: flat (B, N) sharded on N = contiguous row blocks of the
+      (m1, m2) matricization -> m1 is sharded. The right GEMM X @ H_R^T and
+      the diagonal cross-Kerr mask stay fully LOCAL; only the left GEMM
+      H_L @ X needs a collective (one all-gather/reduce-scatter of the state
+      per RHS application, shared by all left products), riding ICI.
+    - TensorEngine:  'init' axis only (falls back to replicated state over
+      'hilbert'; the per-axis contraction layout has no aligned shard axis).
 
 The reference's comm_optim (time parallelism) is stubbed at size 1 there
-(main.cpp:140-143) and intentionally has no analog here; the time loop stays
-sequential (lax.scan), as in the reference.
+(main.cpp:140-143); here the associative-scan time-parallel path
+(ops/propagator.py) realizes that axis when enabled, and the default time
+loop stays sequential (lax.scan), as in the reference.
 """
 
 from __future__ import annotations
-
-from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -33,27 +40,43 @@ def make_mesh(n_init: int, n_hilbert: int = 1, devices=None) -> Mesh:
     return Mesh(dev, axis_names=("init", "hilbert"))
 
 
+# engine-held big arrays; always replicated (they are O(K N) to O(K N^2)
+# operator data, small next to the batched states)
+ENGINE_ARRAYS = ("stack", "Ls", "stackL", "stackR", "cross_diag",
+                 "crossA", "crossB", "pallas_Sr", "pallas_Si")
+
+
 def shard_problem(problem, mesh: Mesh, shard_hilbert: bool = False):
-    """Re-place a Problem's device arrays with mesh shardings.
+    """Configure a Problem for mesh execution and re-place its materialized
+    device arrays.
 
-    x0/targets: batch axis over 'init'; optionally the last state axis over
-    'hilbert'. The operator stack is replicated (it is O(K N^2), small next
-    to the batched states). Subsequent jitted computations on these inputs
-    are partitioned by GSPMD with psum/all-gather inserted as needed.
+    Sets ``problem.mesh`` / ``problem.shard_hilbert`` — consumed by
+    ``Problem._wrap_with_data`` (big threaded arrays get placed with these
+    shardings at materialization time) and ``Problem.state_sharding_spec``.
+    Also immediately re-places the already-held arrays so that directly
+    jitting ``problem.objective`` (closure-captured constants) partitions
+    too: jit respects the committed sharding of captured device arrays.
     """
-    state_rank = problem.x0.ndim  # 2 (B,N) or 3 (B,N,N)
-    spec_tail = [None] * (state_rank - 1)
-    if shard_hilbert:
-        spec_tail[-1] = "hilbert"
-    state_spec = P("init", *spec_tail)
+    problem.mesh = mesh
+    problem.shard_hilbert = bool(shard_hilbert)
+    if shard_hilbert and getattr(problem, "use_pallas", False):
+        # the fused Pallas kernel is a single-device program; hilbert-axis
+        # runs use the XLA engines, which GSPMD partitions
+        problem.use_pallas = False
 
+    state_spec = problem.state_sharding_spec()
     problem.x0 = jax.device_put(problem.x0, NamedSharding(mesh, state_spec))
     if problem.target is not None:
-        problem.target = jax.device_put(problem.target, NamedSharding(mesh, state_spec))
-    problem.weights = jax.device_put(problem.weights, NamedSharding(mesh, P("init")))
-    problem.purity = jax.device_put(problem.purity, NamedSharding(mesh, P("init")))
+        tspec = problem.state_sharding_spec(np.ndim(problem.target))
+        problem.target = jax.device_put(problem.target,
+                                        NamedSharding(mesh, tspec))
+    init_spec = NamedSharding(mesh, P("init"))
+    problem.weights = jax.device_put(problem.weights, init_spec)
+    problem.purity = jax.device_put(problem.purity, init_spec)
+
     repl = NamedSharding(mesh, P())
-    problem.engine.stack = jax.device_put(problem.engine.stack, repl)
-    if problem.engine.Ls is not None:
-        problem.engine.Ls = jax.device_put(problem.engine.Ls, repl)
+    for name in ENGINE_ARRAYS:
+        arr = getattr(problem.engine, name, None)
+        if arr is not None:
+            setattr(problem.engine, name, jax.device_put(arr, repl))
     return problem

@@ -1,152 +1,192 @@
-"""Plotting helpers, mirroring quandary.py:1202-1358 (matplotlib)."""
+"""Visualization of pulses, populations, and energies, plus the Richardson
+time-step estimator.
+
+The public names (plot_pulse, plot_expectedEnergy, plot_population,
+plot_results_1osc, timestep_richardson_est) are the compatibility surface of
+the reference front end (quandary.py:1202-1409); the implementations here
+are an independent design: every plot function builds its figure through the
+object-oriented matplotlib API and RETURNS it (callers decide whether to
+show, save, or embed), with layout factored into a shared grid helper.
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
 
-def plot_pulse(Ne, time, pt, qt):
-    """Control pulses for all qubits (quandary.py:1202-1223)."""
+def _basis_label(iplot: int, n_osc: int) -> str:
+    """Ket label for the iplot-th basis initial condition."""
+    if n_osc == 1:
+        return f"|{iplot}>"
+    return "|" + format(iplot, f"0{n_osc}b") + ">"
+
+
+def _init_grid(n_panels: int):
+    """A (fig, flat axes list) grid sized for n_panels initial conditions:
+    two columns once there are >= 4 panels, scaled so panels stay legible."""
     import matplotlib.pyplot as plt
-    nrows = len(Ne)
-    plt.figure()
-    for iosc in range(len(Ne)):
-        plt.subplot(nrows, 1, iosc + 1)
-        plt.plot(time, pt[iosc], "r", label="p(t)")
-        plt.plot(time, qt[iosc], "b", label="q(t)")
-        plt.xlabel("time (ns)")
-        plt.ylabel("Drive strength [MHz]")
-        maxp = max(np.abs(pt[iosc]))
-        maxq = max(np.abs(qt[iosc]))
-        plt.title(f"Qubit {iosc}\n max. drive {round(maxp, 1)}, {round(maxq, 1)} MHz")
-        plt.legend(loc="lower right")
-        plt.xlim([0.0, time[-1]])
-    plt.subplots_adjust(hspace=0.6)
+
+    ncols = 2 if n_panels >= 4 else 1
+    nrows = -(-n_panels // ncols)
+    fig, axes = plt.subplots(
+        nrows, ncols, squeeze=False,
+        figsize=(4.8 * nrows, 3.6 * nrows))
+    flat = [ax for row in axes for ax in row]
+    for ax in flat[n_panels:]:
+        ax.set_visible(False)
+    fig.subplots_adjust(hspace=0.5, wspace=0.5)
+    return fig, flat[:n_panels]
+
+
+def _finish(fig):
+    import matplotlib.pyplot as plt
+
     plt.draw()
     plt.show()
+    return fig
+
+
+def plot_pulse(Ne, time, pt, qt):
+    """One row per oscillator: the rotating-frame quadratures p(t), q(t) in
+    MHz over the pulse duration, annotated with the peak amplitudes."""
+    import matplotlib.pyplot as plt
+
+    n_osc = len(Ne)
+    fig, axes = plt.subplots(n_osc, 1, squeeze=False)
+    fig.subplots_adjust(hspace=0.6)
+    for k in range(n_osc):
+        ax = axes[k][0]
+        p = np.asarray(pt[k])
+        q = np.asarray(qt[k])
+        ax.plot(time, p, color="r", label="p(t)")
+        ax.plot(time, q, color="b", label="q(t)")
+        ax.set(xlabel="time (ns)", ylabel="Drive strength [MHz]",
+               xlim=(0.0, time[-1]))
+        ax.set_title(f"Qubit {k}\n max. drive "
+                     f"{np.abs(p).max():.1f}, {np.abs(q).max():.1f} MHz")
+        ax.legend(loc="lower right")
+    return _finish(fig)
 
 
 def plot_expectedEnergy(Ne, time, expectedEnergy):
-    """Evolution of expected energy levels (quandary.py:1225-1257)."""
-    import matplotlib.pyplot as plt
+    """Expected energy <n> per oscillator, one panel per initial basis
+    state."""
+    n_osc = len(Ne)
     ninit = len(expectedEnergy[0])
-    ncols = 2 if ninit >= 4 else 1
-    nrows = int(np.ceil(ninit / ncols))
-    plt.figure(figsize=(6.4 * nrows * 0.75, 4.8 * nrows * 0.75))
-    for iplot in range(ninit):
-        plt.subplot(nrows, ncols, iplot + 1)
-        emax = 1.0
-        for iosc in range(len(Ne)):
-            label = f"Qubit {iosc}" if len(Ne) > 1 else ""
-            plt.plot(time, expectedEnergy[iosc][iplot], label=label)
-            emax = max(emax, np.max(expectedEnergy[iosc][iplot]))
-        plt.xlabel("time (ns)")
-        plt.ylabel("expected energy")
-        plt.ylim([-1e-2, emax + 1e-2])
-        plt.xlim([0.0, time[-1]])
-        bid = iplot if len(Ne) == 1 else bin(iplot).replace("0b", "").zfill(len(Ne))
-        plt.title(f"from |{bid}>")
-        plt.legend(loc="lower right")
-    plt.subplots_adjust(hspace=0.5, wspace=0.5)
-    plt.draw()
-    plt.show()
+    fig, panels = _init_grid(ninit)
+    for iplot, ax in enumerate(panels):
+        top = 1.0
+        for k in range(n_osc):
+            trace = np.asarray(expectedEnergy[k][iplot])
+            ax.plot(time, trace, label=f"Qubit {k}" if n_osc > 1 else "")
+            top = max(top, trace.max())
+        ax.set(xlabel="time (ns)", ylabel="expected energy",
+               xlim=(0.0, time[-1]), ylim=(-1e-2, top + 1e-2))
+        ax.set_title("from " + _basis_label(iplot, n_osc))
+        ax.legend(loc="lower right")
+    return _finish(fig)
 
 
 def plot_population(Ne, time, population):
-    """Evolution of populations (quandary.py:1259-1291)."""
-    import matplotlib.pyplot as plt
+    """Level populations per oscillator, one panel per initial basis
+    state."""
+    n_osc = len(Ne)
     ninit = len(population[0])
-    ncols = 2 if ninit >= 4 else 1
-    nrows = int(np.ceil(ninit / ncols))
-    plt.figure(figsize=(6.4 * nrows * 0.75, 4.8 * nrows * 0.75))
-    for iplot in range(ninit):
-        plt.subplot(nrows, ncols, iplot + 1)
-        for iosc in range(len(Ne)):
-            for istate in range(Ne[iosc]):
-                label = (f"Qubit {iosc} " if len(Ne) > 1 else "") + f"|{istate}>"
-                plt.plot(time, population[iosc][iplot][istate], label=label)
-        plt.xlabel("time (ns)")
-        plt.ylabel("population")
-        plt.ylim([-1e-4, 1.0 + 1e-2])
-        plt.xlim([0.0, time[-1]])
-        bid = iplot if len(Ne) == 1 else bin(iplot).replace("0b", "").zfill(len(Ne))
-        plt.title(f"from |{bid}>")
-        plt.legend(loc="lower right")
-    plt.subplots_adjust(hspace=0.5, wspace=0.5)
-    plt.draw()
-    plt.show()
+    fig, panels = _init_grid(ninit)
+    for iplot, ax in enumerate(panels):
+        for k in range(n_osc):
+            prefix = f"Qubit {k} " if n_osc > 1 else ""
+            for lvl in range(Ne[k]):
+                ax.plot(time, population[k][iplot][lvl],
+                        label=prefix + f"|{lvl}>")
+        ax.set(xlabel="time (ns)", ylabel="population",
+               xlim=(0.0, time[-1]), ylim=(-1e-4, 1.0 + 1e-2))
+        ax.set_title("from " + _basis_label(iplot, n_osc))
+        ax.legend(loc="lower right")
+    return _finish(fig)
 
 
 def plot_results_1osc(myconfig, p, q, expectedEnergy, population):
-    """All results of one oscillator incl. pulse FFT (quandary.py:1293-1358)."""
+    """Single-oscillator dashboard: pulse quadratures, pulse power spectrum,
+    expected energy, and per-initial-condition populations."""
     import matplotlib.pyplot as plt
+
+    t = myconfig.time
     fig, ax = plt.subplots(2, 3, figsize=(20, 8))
     fig.subplots_adjust(hspace=0.3)
-    t = myconfig.time
 
+    # (0,0) pulse quadratures
     ax[0, 0].plot(t, p, label="I")
     ax[0, 0].plot(t, q, label="Q")
-    ax[0, 0].set_ylabel("Pulse amplitude (MHz)")
-    ax[0, 0].set_xlabel("Time (ns)")
+    ax[0, 0].set(xlabel="Time (ns)", ylabel="Pulse amplitude (MHz)")
     ax[0, 0].legend()
     ax[0, 0].grid()
 
-    zlist = np.array(p) * 1e-3 + 1j * np.array(q) * 1e-3
-    fft = np.fft.fft(zlist)
-    dt = myconfig.T / myconfig.nsteps
-    fftfr = np.fft.fftfreq(len(zlist), d=dt)
-    ax[0, 1].scatter(fftfr * 1e3, np.abs(fft) ** 2)
-    ax[0, 1].set_ylabel("FFT")
-    ax[0, 1].set_xlabel("Frequency (MHz)")
+    # (0,1) power spectrum of the complex envelope (GHz units internally,
+    # displayed in MHz)
+    env = (np.asarray(p) + 1j * np.asarray(q)) * 1e-3
+    power = np.abs(np.fft.fft(env)) ** 2
+    freqs = np.fft.fftfreq(env.size, d=myconfig.T / myconfig.nsteps)
+    ax[0, 1].scatter(freqs * 1e3, power)
+    ax[0, 1].set(xlabel="Frequency (MHz)", ylabel="FFT", title="FFT",
+                 yscale="log", xlim=(-500, 500))
     ax[0, 1].grid()
-    ax[0, 1].set_title("FFT")
-    ax[0, 1].set_yscale("log")
-    ax[0, 1].set_xlim(-500, 500)
 
-    for iinit in range(len(population)):
-        for istate in range(myconfig.Ne[0]):
-            ax[1, iinit].plot(t, population[iinit][istate], label=f"|{istate}>")
-        ax[1, iinit].set_xlabel("Time (ns)")
-        ax[1, iinit].set_ylabel("Population")
-        ax[1, iinit].legend()
-        ax[1, iinit].set_title(f"Populations from |{iinit}>")
-        ax[1, iinit].grid()
-
-    for iinit in range(len(expectedEnergy)):
-        ax[0, 2].plot(t, expectedEnergy[iinit], label=f"from |{iinit}>")
-    ax[0, 2].set_xlabel("Time (ns)")
-    ax[0, 2].set_ylabel("Expected Energy Level")
+    # (0,2) expected energy per initial condition
+    for iinit, trace in enumerate(expectedEnergy):
+        ax[0, 2].plot(t, trace, label=f"from |{iinit}>")
+    ax[0, 2].set(xlabel="Time (ns)", ylabel="Expected Energy Level",
+                 title="Expected Energy Level")
     ax[0, 2].legend()
-    ax[0, 2].set_title("Expected Energy Level")
     ax[0, 2].grid()
-    plt.draw()
-    plt.show()
+
+    # bottom row: populations, one panel per initial condition
+    for iinit, pops in enumerate(population):
+        for lvl in range(myconfig.Ne[0]):
+            ax[1, iinit].plot(t, pops[lvl], label=f"|{lvl}>")
+        ax[1, iinit].set(xlabel="Time (ns)", ylabel="Population",
+                         title=f"Populations from |{iinit}>")
+        ax[1, iinit].legend()
+        ax[1, iinit].grid()
+    return _finish(fig)
 
 
-def timestep_richardson_est(quandary, tol=1e-8, order=2, quandary_exec="", **kwargs):
-    """Richardson time-step error estimator (quandary.py:1360-1409): halve dt
-    until the estimated error in the infidelity meets the tolerance."""
-    m = 2
+def timestep_richardson_est(quandary, tol=1e-8, order=2, quandary_exec="",
+                            datadir="TS_test", max_refinements=10, **kwargs):
+    """Richardson error estimate for the time discretization: repeatedly
+    double nsteps and estimate the order-`order` error of the infidelity and
+    of the final unitary as |coarse - fine| / (2^order - 1); stop when the
+    infidelity error drops below `tol`.
+
+    Returns (errs_J, errs_u, dts): per-refinement error estimates and the
+    coarse step sizes they correspond to. `quandary_exec` is accepted for
+    reference-signature compatibility and ignored (execution is in-process).
+    """
+    refine = 2
+    amplification = refine ** order - 1.0
+
     quandary.verbose = False
-    t, pt, qt, infidelity, _, _ = quandary.simulate(datadir="TS_test")
-    Jcurr = infidelity
-    uT = np.copy(quandary.uT)
+    _, _, _, J_coarse, _, _ = quandary.simulate(datadir=datadir)
+    u_coarse = np.array(quandary.uT)
 
     errs_J, errs_u, dts = [], [], []
-    for i in range(10):
-        dt_org = quandary.T / quandary.nsteps
-        quandary.nsteps = quandary.nsteps * m
+    for _ in range(max_refinements):
+        dt_coarse = quandary.T / quandary.nsteps
+        quandary.nsteps *= refine
         quandary.dT = quandary.T / quandary.nsteps
-        t, pt, qt, infidelity, _, _ = quandary.simulate(datadir="TS_test")
-        err_J = np.abs(Jcurr - infidelity) / (m ** order - 1.0)
-        err_u = np.linalg.norm(np.subtract(uT, quandary.uT)) / (m ** order - 1.0)
+        _, _, _, J_fine, _, _ = quandary.simulate(datadir=datadir)
+
+        err_J = abs(J_coarse - J_fine) / amplification
+        err_u = np.linalg.norm(u_coarse - np.array(quandary.uT)) / amplification
         errs_J.append(err_J)
         errs_u.append(err_u)
-        dts.append(dt_org)
-        print(f" -> Error at i={i}, dt = {dt_org}: err_J = {err_J} err_u= {err_u}")
+        dts.append(dt_coarse)
+        print(f" -> Error at i={len(dts) - 1}, dt = {dt_coarse}: "
+              f"err_J = {err_J} err_u= {err_u}")
         if err_J < tol:
-            print(f"\n -> Tolerance reached. N={quandary.nsteps}, dt={dt_org}")
+            print(f"\n -> Tolerance reached. N={quandary.nsteps}, "
+                  f"dt={dt_coarse}")
             break
-        Jcurr = infidelity
-        uT = np.copy(quandary.uT)
+        J_coarse = J_fine
+        u_coarse = np.array(quandary.uT)
     return errs_J, errs_u, dts

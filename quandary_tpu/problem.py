@@ -339,6 +339,40 @@ class Problem:
         else:
             self._superop_builder = None
 
+        # --- multi-device mesh (set by parallel.mesh.shard_problem) ---
+        self.mesh = None
+        self.shard_hilbert = False
+
+    def state_sharding_spec(self, ndim: int = None):
+        """PartitionSpec for a batched state array of rank `ndim` (defaults
+        to x0's rank) on the ('init', 'hilbert') mesh — the engine-dependent
+        layout documented in parallel/mesh.py."""
+        from jax.sharding import PartitionSpec as P
+        from .ops.grouped_rhs import GroupedEngine
+        from .ops.tensor_rhs import TensorEngine
+        ndim = ndim if ndim is not None else np.ndim(self.x0)
+        tail = [None] * (ndim - 1)
+        if self.shard_hilbert:
+            if isinstance(self.engine, TensorEngine):
+                pass        # no aligned shard axis; state replicated over
+                            # 'hilbert' (init-axis parallelism only)
+            elif isinstance(self.engine, GroupedEngine) and ndim == 3:
+                tail[0] = "hilbert"     # (B, m1, m2) planes: shard m1
+            else:
+                tail[-1] = "hilbert"    # flat (B, N) or Lindblad (B, N, N)
+        return P("init", *tail)
+
+    def _shard_state(self, x):
+        """with_sharding_constraint pin for the propagating state when a mesh
+        is configured — keeps GSPMD from re-replicating the carry inside
+        scan/adjoint bodies."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+        spec = self.state_sharding_spec(jnp.ndim(x))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
+
     def _diag_scale_estimate(self) -> float:
         """Cheap host-side bound of the generator's dominant scale (rad/ns):
         max |diag(H_d)|. For Kerr-dominated transmon models the drift
@@ -646,14 +680,16 @@ class Problem:
                     if use_pen else None)
                 x0c = jnp.asarray(self.x0, dtype=s.dtype).reshape(
                     B, eng.m1, eng.m2)
-                x0p = (jnp.real(x0c).astype(rdt), jnp.imag(x0c).astype(rdt))
+                x0p = (self._shard_state(jnp.real(x0c).astype(rdt)),
+                       self._shard_state(jnp.imag(x0c).astype(rdt)))
                 xTp, pen = prop(x0p, C, extras)
                 xT = to_complex(xTp)
             else:
                 prop = make_reversible_propagate(
                     self.step_fn, step_bwd,
                     penalty_fn if use_pen else None)
-                xT, pen = prop(jnp.asarray(self.x0, dtype=s.dtype), C, extras)
+                xT, pen = prop(self._shard_state(
+                    jnp.asarray(self.x0, dtype=s.dtype)), C, extras)
             return self._assemble_objective(
                 params, params_ref, xT,
                 pen.get("leak") if use_pen else None,
@@ -691,10 +727,11 @@ class Problem:
                 out["prev2"] = aux["prev1"]
             return out
 
+        x0 = self._shard_state(jnp.asarray(self.x0, dtype=s.dtype))
         if post_init:
-            xT, acc = solvers.propagate(self.step_fn, self.x0, C, extras, post_fn, post_init)
+            xT, acc = solvers.propagate(self.step_fn, x0, C, extras, post_fn, post_init)
         else:
-            xT, acc = solvers.propagate(self.step_fn, self.x0, C)
+            xT, acc = solvers.propagate(self.step_fn, x0, C)
             acc = {}
 
         return self._assemble_objective(
@@ -750,6 +787,17 @@ class Problem:
             arr = np.asarray(getattr(h, name))
             dev = _sparse_device_put(arr)
             dev_vals[name] = dev if dev is not None else _chunked_device_put(arr)
+        if self.mesh is not None:
+            # mesh placement composes with the relay-safe materialization:
+            # states sharded per state_sharding_spec, operator data replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            for h, name in slots:
+                if h is self and name in ("x0", "target"):
+                    spec = self.state_sharding_spec(np.ndim(dev_vals[name]))
+                else:
+                    spec = P()
+                dev_vals[name] = jax.device_put(
+                    dev_vals[name], NamedSharding(self.mesh, spec))
 
         def traced(data, *args):
             saved = {}

@@ -1,15 +1,15 @@
-"""Time-step estimation and carrier-frequency resonance analysis.
+"""Time-step estimation and carrier-wave frequency selection.
 
-Mirrors quandary.py:896-1060: the number of time steps is chosen so the
-fastest period of (Hsys + estimated control) is resolved with Pmin points;
-the carrier frequencies are the transition frequencies of the system
-Hamiltonian between essential states that the control operators connect,
-thresholded by growth rate and mutual proximity.
+Behavioral spec: quandary.py:896-1060 — the time grid resolves the fastest
+period of (Hsys + estimated control) with Pmin points per period, and the
+carrier waves are the dressed transition frequencies between essential
+states that the control operators connect, filtered by coupling amplitude
+and mutual proximity. Carrier parity with the reference is REQUIRED (the
+derived nsteps and pulse frequencies feed every downstream example), so the
+selection criteria match exactly; the implementation is vectorized here.
 """
 
 from __future__ import annotations
-
-from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -18,96 +18,95 @@ from .indexing import multi_index
 
 def estimate_timesteps(*, T: float, Hsys: np.ndarray, Hc_re=(), Hc_im=(),
                        maxctrl_MHz=(), Pmin: int = 40) -> int:
-    """quandary.py:896-927."""
-    est_ctrl_MHz = list(maxctrl_MHz)
-    if len(est_ctrl_MHz) == 0:
-        est_ctrl_MHz = [10.0] * max(len(Hc_re), len(Hc_im))
+    """Number of IMR steps so the largest eigenfrequency of the worst-case
+    Hamiltonian (drift plus controls at their estimated peak amplitude) is
+    sampled Pmin times per period."""
+    n_ctrl = max(len(Hc_re), len(Hc_im))
+    amps_radns = [
+        (list(maxctrl_MHz) + [10.0] * n_ctrl)[i] * 2.0 * np.pi / 1e3
+        for i in range(n_ctrl)
+    ] if len(maxctrl_MHz) else [10.0 * 2.0 * np.pi / 1e3] * n_ctrl
 
-    K1 = np.copy(Hsys).astype(np.complex128)
-    for i in range(len(Hc_re)):
-        if np.size(Hc_re[i]) > 0:
-            K1 += (est_ctrl_MHz[i] * 2.0 * np.pi / 1e3) * np.asarray(Hc_re[i])
-    for i in range(len(Hc_im)):
-        if np.size(Hc_im[i]) > 0:
-            K1 = K1 + 1j * (est_ctrl_MHz[i] * 2.0 * np.pi / 1e3) * np.asarray(Hc_im[i])
+    H = np.asarray(Hsys, dtype=np.complex128).copy()
+    for amp, hc in zip(amps_radns, Hc_re):
+        if np.size(hc):
+            H += amp * np.asarray(hc)
+    for amp, hc in zip(amps_radns, Hc_im):
+        if np.size(hc):
+            H += 1j * amp * np.asarray(hc)
 
-    eigenvalues = np.linalg.eigvals(K1)
-    maxeig = np.max(np.abs(eigenvalues))
-    samplerate = maxeig * Pmin / (2.0 * np.pi)
-    return int(np.ceil(T * samplerate))
+    max_radns = np.abs(np.linalg.eigvals(H)).max()
+    return int(np.ceil(T * max_radns * Pmin / (2.0 * np.pi)))
 
 
 def eigen_and_reorder(H0: np.ndarray, verbose: bool = False):
-    """Eigendecomposition reordered so the eigenvector matrix is as close to
-    identity as possible (quandary.py:930-969)."""
-    Ntot = H0.shape[0]
-    evals, evects = np.linalg.eig(H0)
-    reord = np.argsort(evals)
-    evals = evals[reord]
-    evects = evects[:, reord]
+    """Eigendecomposition of H0 with the eigenpairs permuted so the
+    eigenvector matrix is maximally diagonal (each bare state mapped to the
+    dressed state it dominates) and signed so the diagonal is positive."""
+    evals, evects = np.linalg.eig(np.asarray(H0))
+    order = np.argsort(evals)
+    evals, evects = evals[order], evects[:, order]
 
-    max_col = np.array([np.argmax(np.abs(evects[row, :])) for row in range(Ntot)])
-    if len(set(max_col.tolist())) != Ntot:
+    # row r's dressed partner = the column where |row r| peaks
+    assign = np.argmax(np.abs(evects), axis=1)
+    if np.unique(assign).size != evects.shape[0]:
         raise ValueError("Permutation of eigen-vector matrix failed")
+    evals, evects = evals[assign], evects[:, assign]
 
-    evects = evects[:, max_col]
-    evals = evals[max_col]
-    for j in range(Ntot):
-        if evects[j, j].real < 0.0:
-            evects[:, j] = -evects[:, j]
-    return evals, evects
+    flip = np.where(np.real(np.diagonal(evects)) < 0.0, -1.0, 1.0)
+    return evals, evects * flip[None, :]
 
 
 def get_resonances(*, Ne, Ng, Hsys, Hc_re=(), Hc_im=(), rotfreq=(),
                    cw_amp_thres: float = 1e-7, cw_prox_thres: float = 1e-2,
                    verbose: bool = False, stdmodel: bool = True):
-    """System resonances used as carrier-wave frequencies (quandary.py:972-1060).
+    """Carrier-wave frequencies per oscillator.
 
-    Returns (om, growth_rate): om[q] is an array of carrier frequencies [GHz]
-    for oscillator q (at least [0.0]).
+    For each control operator (symmetric and antisymmetric part, in that
+    order), transformed to the dressed basis, every lower-triangular entry
+    (i, j<i) coupling two ESSENTIAL states contributes the dressed
+    transition frequency E_i - E_j [GHz] — kept if its coupling amplitude
+    reaches cw_amp_thres and no already-kept frequency lies within
+    cw_prox_thres. Returns (om, growth_rate) with om[q] at least [0.0].
     """
-    nqubits = len(Ne)
-    n = Hsys.shape[0]
-    nlevels = [Ne[i] + Ng[i] for i in range(nqubits)]
+    n_osc = len(Ne)
+    nlevels = [e + g for e, g in zip(Ne, Ng)]
 
-    Hsys_evals, Utrans = eigen_and_reorder(Hsys, verbose)
-    Hsys_evals = Hsys_evals.real / (2.0 * np.pi)
+    energies, U = eigen_and_reorder(Hsys, verbose)
+    freqs_ghz = np.real(energies) / (2.0 * np.pi)
 
-    resonances: List[List[float]] = []
-    speed: List[List[float]] = []
-    for q in range(nqubits):
-        Hsym_trans = Utrans.conj().T @ np.asarray(Hc_re[q]) @ Utrans
-        Hanti_trans = Utrans.conj().T @ np.asarray(Hc_im[q]) @ Utrans
-        res_a: List[float] = []
-        speed_a: List[float] = []
-        for Hc_trans in (Hsym_trans, Hanti_trans):
+    # essential-state mask over flat indices, computed once
+    n = np.asarray(Hsys).shape[0]
+    essential = np.array([
+        all(lv < Ne[k] for k, lv in enumerate(multi_index(idx, nlevels)))
+        for idx in range(n)
+    ])
+
+    om, growth_rate = [], []
+    for q in range(n_osc):
+        kept_f: list = []
+        kept_rate: list = []
+        for Hc in (np.asarray(Hc_re[q]), np.asarray(Hc_im[q])):
+            dressed = U.conj().T @ Hc @ U
             for i in range(n):
+                if not essential[i]:
+                    continue
                 for j in range(i):
-                    if abs(Hc_trans[i, j]) < 1e-14:
+                    coupling = abs(dressed[i, j])
+                    if coupling < 1e-14 or not essential[j]:
                         continue
-                    delta_f = Hsys_evals[i] - Hsys_evals[j]
-                    if abs(delta_f) < 1e-10:
-                        delta_f = 0.0
-                    ids_i = multi_index(i, nlevels)
-                    ids_j = multi_index(j, nlevels)
-                    is_ess_i = all(ids_i[k] < Ne[k] for k in range(nqubits))
-                    is_ess_j = all(ids_j[k] < Ne[k] for k in range(nqubits))
-                    if is_ess_i and is_ess_j:
-                        if any(abs(delta_f - f) < cw_prox_thres for f in res_a):
-                            continue
-                        if abs(Hc_trans[i, j]) < cw_amp_thres:
-                            continue
-                        res_a.append(delta_f)
-                        speed_a.append(abs(Hc_trans[i, j]))
-        resonances.append(res_a)
-        speed.append(speed_a)
-
-    om = []
-    growth_rate = []
-    for q in range(nqubits):
-        if len(resonances[q]) > 0:
-            om.append(np.array(resonances[q]))
-            growth_rate.append(np.array(speed[q]))
+                    df = freqs_ghz[i] - freqs_ghz[j]
+                    if abs(df) < 1e-10:
+                        df = 0.0
+                    if any(abs(df - f) < cw_prox_thres for f in kept_f):
+                        continue
+                    if coupling < cw_amp_thres:
+                        continue
+                    kept_f.append(df)
+                    kept_rate.append(coupling)
+        if kept_f:
+            om.append(np.array(kept_f))
+            growth_rate.append(np.array(kept_rate))
         else:
             om.append(np.zeros(1))
             growth_rate.append(np.ones(1))

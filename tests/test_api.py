@@ -270,3 +270,151 @@ def test_cli_evalcontrols(tmp_path):
     assert ctrl.shape[0] == 101
     # constant init 0.003 GHz -> p column ~0.003 at interior points
     assert abs(ctrl[50, 1] - 0.003) < 1e-6
+
+
+# ----- reference python-tier example parity: spinchain, qft, swap12 -----
+
+_REF_PYTESTS = "/root/reference/tests/python"
+
+
+def _ref_expected(fname, *names):
+    """Parse EXPECTED_* literal assignments out of a reference python test
+    file without importing it (it imports the reference's own quandary.py).
+    The arrays are the reference's committed regression data — we read them
+    at test time exactly like the golden .dat files."""
+    import ast
+    with open(os.path.join(_REF_PYTESTS, fname)) as f:
+        tree = ast.parse(f.read())
+    out = {}
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name) \
+                and node.targets[0].id in names:
+            out[node.targets[0].id] = ast.literal_eval(node.value)
+    assert set(out) == set(names), f"missing {set(names) - set(out)}"
+    return out
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_PYTESTS),
+                    reason="reference checkout not available")
+def test_spinchain_via_api(tmp_path):
+    """Mirror of tests/python/test_example_spinchain.py:124-223: an 8-site
+    spin chain mapped onto Quandary coefficients (freq01/crosskerr/Jkl),
+    domain-wall initial state, zero controls, forward simulation. Fully
+    deterministic, so the reference's hard-coded sampled populations are a
+    true golden — compared at the reference's own rtol 1e-3."""
+    N = 8
+    rng = np.random.RandomState(9001)  # reference uses np.random.seed(9001)
+    h = rng.uniform(-1.0, 1.0, N)
+    U = np.zeros(N)
+    J = np.ones(N)
+
+    # spin-chain -> Quandary coefficient map (test_example_spinchain.py:124-155)
+    freq01 = np.zeros(N)
+    freq01[0] = (-2 * h[0] - 2 * U[0]) / (2 * np.pi)
+    freq01[N - 1] = (-2 * h[N - 1] - 2 * U[N - 2]) / (2 * np.pi)
+    for i in range(1, N - 1):
+        freq01[i] = (-2 * h[i] - 2 * U[i] - 2 * U[i - 1]) / (2 * np.pi)
+    Jkl, crosskerr = [], []
+    for i in range(N):
+        for j in range(i + 1, N):
+            Jkl.append(-2 * J[i] / (2 * np.pi) if j == i + 1 else 0.0)
+            crosskerr.append(-4 * U[i] / (2 * np.pi) if j == i + 1 else 0.0)
+
+    initcond = "pure, " + ", ".join(
+        str(1 if i < N // 2 else 0) for i in range(N)) + ", "
+
+    q = Quandary(
+        Ne=[2] * N, Ng=[0] * N, freq01=freq01, rotfreq=np.zeros(N),
+        crosskerr=crosskerr, Jkl=Jkl, initialcondition=initcond,
+        T=10.0, dT=0.01, initctrl_MHz=0.0,
+        carrier_frequency=[[0.0]] * N, verbose=False,
+    )
+    t, pt, qt, infidelity, energy, population = q.simulate(
+        datadir=str(tmp_path / "spinchain"))
+
+    exp = _ref_expected("test_example_spinchain.py",
+                        "EXPECTED_LENGTH", "EXPECTED_INFIDELITY",
+                        "EXPECTED_ENERGY", "EXPECTED_POPULATION")
+    L = exp["EXPECTED_LENGTH"]
+    assert len(t) == L and t[0] == 0.0 and abs(t[-1] - 10.0) < 1e-12
+    idx = [int(i * (L - 1) / 9) for i in range(10)]
+    assert infidelity == pytest.approx(exp["EXPECTED_INFIDELITY"],
+                                       rel=1e-3, abs=1e-10)
+    for i in range(N):
+        np.testing.assert_allclose(
+            [energy[i][0][k] for k in idx], exp["EXPECTED_ENERGY"][i][0],
+            rtol=1e-3, atol=1e-10, err_msg=f"energy osc {i}")
+        np.testing.assert_allclose(
+            [population[i][0][0][k] for k in idx],
+            exp["EXPECTED_POPULATION"][i][0],
+            rtol=1e-3, atol=1e-10, err_msg=f"population osc {i}")
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_PYTESTS),
+                    reason="reference checkout not available")
+def test_swap12_via_api(tmp_path):
+    """Mirror of tests/python/test_example_swap12.py: SWAP|1>,|2> gate on two
+    coupled qubits, default carrier-wave computation from system resonances.
+    The reference's sampled pulse arrays encode TAO's iterate path; the
+    optimizer-independent contract is the derived time grid (EXPECTED_LENGTH
+    pins the Pmin/spline-spacing -> nsteps logic) and the converged
+    infidelity class (reference: 9.67e-5 with tol_infidelity 1e-4)."""
+    freq01 = [5.12, 5.06]
+    favg = sum(freq01) / len(freq01)
+    unitary = np.identity(4)
+    unitary[1, 1] = unitary[2, 2] = 0.0
+    unitary[1, 2] = unitary[2, 1] = 1.0
+    q = Quandary(
+        freq01=freq01, Jkl=[5.0e-3], rotfreq=favg * np.ones(2),
+        T=200.0, maxctrl_MHz=30.0 * np.ones(2), targetgate=unitary,
+        verbose=False, rand_seed=1234,
+    )
+    exp = _ref_expected("test_example_swap12.py", "EXPECTED_LENGTH")
+    assert q.nsteps + 1 == exp["EXPECTED_LENGTH"]
+    t, pt, qt, infidelity, energy, population = q.optimize(
+        datadir=str(tmp_path / "swap12"))
+    assert len(t) == exp["EXPECTED_LENGTH"]
+    assert infidelity < 1e-4, infidelity
+    # population[iosc][iinit] -> (nlevels, nt): 2 oscillators, 4 basis inits
+    assert len(pt) == 2 and len(population) == 2 and len(population[0]) == 4
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_PYTESTS),
+                    reason="reference checkout not available")
+def test_qft_via_api(tmp_path):
+    """Mirror of tests/python/test_example_qft.py:270-359: 3-qubit QFT gate,
+    chain coupling, carrier waves auto-computed from resonances with
+    amplitude/proximity thresholds (cw_amp_thres/cw_prox_thres), 10
+    optimizer iterations. Pins the nsteps derivation (EXPECTED_LENGTH) and
+    requires the objective to move into the reference's end-of-10-iters
+    class (reference lands at infidelity 0.808)."""
+    nqubits = 3
+    freq01_all = [5.18, 5.12, 5.06, 5.0, 4.94]
+    freq01 = [freq01_all[len(freq01_all) - i - 1] for i in range(nqubits)]
+    Jkl = []
+    for i in range(nqubits):
+        for j in range(i + 1, nqubits):
+            Jkl.append(5e-3 if j == i + 1 else 0.0)
+    favg = sum(freq01) / len(freq01)
+    dim = 2 ** nqubits
+    om = np.exp(1j * 2 * np.pi / dim)
+    qft = np.array([[om ** (j * k) / np.sqrt(dim) for k in range(dim)]
+                    for j in range(dim)])
+    q = Quandary(
+        Ne=[2] * nqubits, Ng=[0] * nqubits, freq01=freq01, Jkl=Jkl,
+        rotfreq=favg * np.ones(nqubits), T=100.0, Pmin=300,
+        spline_knot_spacing=3.0, targetgate=qft, verbose=False,
+        rand_seed=1234, maxctrl_MHz=25.0, cw_amp_thres=5e-2,
+        cw_prox_thres=1e-3, gamma_energy=1e-4, gamma_tik0=1e-3,
+        gamma_dpdm=0.0, maxiter=10,
+    )
+    exp = _ref_expected("test_example_qft.py", "EXPECTED_LENGTH")
+    assert q.nsteps + 1 == exp["EXPECTED_LENGTH"]
+    t, pt, qt, infidelity, energy, population = q.optimize(
+        datadir=str(tmp_path / "qft"))
+    assert len(t) == exp["EXPECTED_LENGTH"]
+    # 10 iterations barely move this hard problem (ref: 0.808 from ~0.875
+    # at iteration 0); require the same "moved but unconverged" class
+    assert infidelity < 0.9, infidelity
+    assert len(pt) == nqubits

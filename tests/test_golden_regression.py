@@ -65,6 +65,41 @@ def test_axc_simulation(tmp_path):
                         "optim_history.dat"))
 
 
+def test_axc_grad(tmp_path):
+    """AxC_grad — Lindblad full gradient (runtype=gradient, collapse both,
+    pure-state init; tests/regression/test_cases.json:13-22). The reference
+    checkout ships NO base/ for this case (goldens are produced by its
+    rebaseTests.sh), so instead of file comparison we pin the physics
+    directly: the adjoint gradient written to grad.dat must match a central
+    finite difference of the objective along a random direction."""
+    import jax.numpy as jnp
+    from quandary_tpu.cli import run
+    from quandary_tpu.io.configfile import Config, setup_from_config
+    from quandary_tpu.problem import Problem
+
+    src = os.path.join(REF, "AxC_grad")
+    work = tmp_path / "AxC_grad"
+    shutil.copytree(src, work, ignore=shutil.ignore_patterns("base"))
+    res = run(str(work / "AxC_grad.cfg"), quiet=True)
+    g = np.loadtxt(os.path.join(res["datadir"], "grad.dat"))
+
+    cfg = Config.read(str(work / "AxC_grad.cfg"))
+    setup, spec = setup_from_config(cfg, str(work))
+    assert g.shape == (setup.nparams,)
+    problem = Problem(setup)
+    obj = problem.build_objective()
+    p0 = np.asarray(spec.params0, dtype=np.float64)
+    rng = np.random.default_rng(42)
+    d = rng.standard_normal(p0.shape)
+    d /= np.linalg.norm(d)
+    eps = 1e-4
+    Jp, _ = obj(jnp.asarray(p0 + eps * d), jnp.asarray(p0))
+    Jm, _ = obj(jnp.asarray(p0 - eps * d), jnp.asarray(p0))
+    fd = (float(Jp) - float(Jm)) / (2 * eps)
+    np.testing.assert_allclose(np.dot(g, d), fd, rtol=2e-4,
+                               err_msg="AxC_grad adjoint vs FD")
+
+
 def test_axc_grad_schroedinger(tmp_path):
     """Schroedinger discrete adjoint vs golden grad.dat."""
     _run_case(tmp_path, "AxC_grad_schroedinger",
