@@ -1,0 +1,202 @@
+"""Hand-written solve-based discrete adjoint for the grouped large-N step.
+
+The generic reversible adjoint (ops/reversible.py) differentiates through
+the unrolled Jacobi-Neumann stage solve with jax.vjp — ~7x the forward cost
+per step at 32^4. This module replaces that with the adjoint-SOLVE
+formulation the reference uses in evolveBWD (timestepper.cpp:631-694:
+backward solve of the transposed system + dRHSdp^T accumulation), derived
+for our truncated iteration:
+
+Forward step (make_real_imr_step):  y = x + dt k,  k = P_a(M) (M x),
+where a = dt/2, M = -iH(c) and P_a is the truncated Jacobi-Neumann
+polynomial approximating (I - aM)^{-1}.
+
+* State cotangent — EXACT transpose of the computed map. In the real-plane
+  inner product M^T = -M (H Hermitian), the Jacobi diagonal d^T = -d and
+  Minv^T = conj(Minv), which gives the identity  P_a(M)^T = P_{-a}(M)
+  (make_jacobi_solver docstring). Hence
+
+      xbar = ybar + dt M^T P_a^T ybar = ybar - dt M (P_{-a} ybar),
+
+  i.e. one extra solve with the SAME kernel at -a and one M application —
+  no differentiation through the iteration.
+
+* Control cotangent — adjoint-solve form. With w = (I + aM)^{-1} ybar
+  (= P_{-a} ybar to solver truncation, the same w as above):
+
+      d<ybar, y>/dc_k = dt * Re<w, dM/dc_k x_mid> = dt * Im<w, H_k x_mid>,
+
+  with x_mid = (x + y)/2 the IMR midpoint state. The truncation error in w
+  is the solver residual (~rho^{iters+1}, far below f32 eps for the
+  step sizes the stability bound allows), so gradients agree with plain AD
+  to machine precision (test_grouped_adjoint.py).
+
+* State reconstruction — same approximate reversibility as the generic
+  path: x = y - dt P_{-a}(M y). The reconstruction and w solves share one
+  BATCHED solve call (2B states), doubling the GEMM batch on the MXU.
+
+Per-step backward cost ~ 2x forward (one batched double solve + 2 M
+applications + the stack contractions) vs ~7x for AD through the unrolled
+solver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grouped_rhs import GroupedEngine, make_M_apply, make_jacobi_solver
+
+
+def _dC_contractions(engine: GroupedEngine, wr, wi, xr, xi, dt, c):
+    """dt * Im<W, H_k X> for every coefficient slot k -> (K,) real.
+
+    <W, V> = sum conj(W) o V over batch and elements. Each stack family
+    reduces to one pair of small GEMMs + an elementwise stack contraction:
+      left ops:  Im tr(L_k P^T),  P = sum_b X_b W_b^H   (m1 x m1)
+      right ops: Im sum R_k o Q,  Q = sum_b W_b^H X_b   (m2 x m2)
+    plus the diagonal cross-Kerr mask (slot 0) and per-cross-JC-pair
+    two-sided products (slots 1+2Q+j / +n_jc).
+    """
+    rdt = wr.dtype
+
+    # P = sum_b X W^H: Pr = Xr Wr^T + Xi Wi^T, Pi = Xi Wr^T - Xr Wi^T
+    def bgemm_T(Ar, Br):        # sum_b A_b @ B_b^T -> (m1, m1)
+        return jnp.einsum("bim,bjm->ij", Ar, Br)
+
+    Pr = bgemm_T(xr, wr) + bgemm_T(xi, wi)
+    Pi = bgemm_T(xi, wr) - bgemm_T(xr, wi)
+    SL = jnp.asarray(engine.stackL)
+    SLr = jnp.real(SL).astype(rdt)
+    SLi = jnp.imag(SL).astype(rdt)
+    g = jnp.einsum("kip,pi->k", SLr, Pi) + jnp.einsum("kip,pi->k", SLi, Pr)
+
+    # Q = sum_b W^H X: Qr = Wr^T Xr + Wi^T Xi, Qi = Wr^T Xi - Wi^T Xr
+    def bgemm_Ht(Ar, Br):       # sum_b A_b^T @ B_b -> (m2, m2)
+        return jnp.einsum("bim,bin->mn", Ar, Br)
+
+    Qr = bgemm_Ht(wr, xr) + bgemm_Ht(wi, xi)
+    Qi = bgemm_Ht(wr, xi) - bgemm_Ht(wi, xr)
+    SR = jnp.asarray(engine.stackR)
+    SRr = jnp.real(SR).astype(rdt)
+    SRi = jnp.imag(SR).astype(rdt)
+    g = g + jnp.einsum("kmn,mn->k", SRr, Qi) + jnp.einsum("kmn,mn->k", SRi, Qr)
+
+    # diagonal cross-Kerr mask rides the constant slot 0
+    if engine.cross_diag is not None:
+        D = jnp.asarray(engine.cross_diag).astype(rdt)[None]
+        g = g.at[0].add(jnp.sum(D * (wr * xi - wi * xr)))
+
+    # cross-group JC pairs: H contribution z*(A X B^T) + conj(z)*(A^T X B)
+    # with z = J(c_p + i c_q) => dH/dc_p = J(t1 + t2), dH/dc_q = iJ(t1 - t2)
+    Q = engine.model.n_osc
+    for i, j in enumerate(engine.cross_idx):
+        J = engine.cross_J[i]
+        A = jnp.real(jnp.asarray(engine.crossA)[i]).astype(rdt)
+        Bm = jnp.real(jnp.asarray(engine.crossB)[i]).astype(rdt)
+        # <W, A X B^T> = sum conj(V1) o X, V1 = A^T W B
+        V1r = jnp.einsum("pi,bim,mq->bpq", A, wr, Bm)
+        V1i = jnp.einsum("pi,bim,mq->bpq", A, wi, Bm)
+        # <W, A^T X B> = sum conj(V2) o X, V2 = A W B^T
+        V2r = jnp.einsum("ip,bim,qm->bpq", A, wr, Bm)
+        V2i = jnp.einsum("ip,bim,qm->bpq", A, wi, Bm)
+        im1 = jnp.sum(V1r * xi - V1i * xr)
+        re1 = jnp.sum(V1r * xr + V1i * xi)
+        im2 = jnp.sum(V2r * xi - V2i * xr)
+        re2 = jnp.sum(V2r * xr + V2i * xi)
+        g = g.at[1 + 2 * Q + j].add(J * (im1 + im2))
+        g = g.at[1 + 2 * Q + engine.model.n_jc + j].add(J * (re1 - re2))
+
+    return dt * g
+
+
+def make_grouped_adjoint_propagate(engine: GroupedEngine, dt: float,
+                                   iters: int,
+                                   penalty_fn: Optional[Callable] = None):
+    """propagate(x0_planes, C, extras) -> ((xTr, xTi), pen_sum) with the
+    solve-based VJP above. Same contract as make_reversible_propagate
+    restricted to the grouped real-plane step: x0_planes = (Xr, Xi) of
+    shape (B, m1, m2), C of shape (ntime, nstages=1, K)."""
+    a = float(dt) / 2.0
+    step_solve = make_jacobi_solver(engine, a, iters)
+    adj_solve = make_jacobi_solver(engine, -a, iters)
+    M_apply = make_M_apply(engine)
+
+    def _pen(x, extra):
+        if penalty_fn is None:
+            return ()
+        return penalty_fn(x, extra)
+
+    def step_fwd(xr, xi, c):
+        br, bi = M_apply(xr, xi, c)
+        kr, ki = step_solve(br, bi, c)
+        return xr + dt * kr, xi + dt * ki
+
+    @jax.custom_vjp
+    def propagate(x0p, C, extras):
+        def body(x, inp):
+            c, extra = inp
+            xr, xi = step_fwd(x[0], x[1], c[0])
+            return (xr, xi), _pen((xr, xi), extra)
+
+        xT, pens = jax.lax.scan(body, x0p, (C, extras))
+        pen_sum = jax.tree.map(lambda p: jnp.sum(p, axis=0), pens)
+        return xT, pen_sum
+
+    def fwd(x0p, C, extras):
+        out = propagate(x0p, C, extras)
+        return out, (out[0], C, extras)
+
+    def bwd(res, cots):
+        xT, C, extras = res
+        (yTr_bar, yTi_bar), pen_bar = cots
+
+        def body(carry, inp):
+            (yr, yi, br_, bi_) = carry
+            c_row, extra = inp
+            c = c_row[0]
+
+            if penalty_fn is not None:
+                _, pvjp = jax.vjp(lambda x: _pen(x, extra), (yr, yi))
+                ((pr, pi),) = pvjp(pen_bar)
+                br_, bi_ = br_ + pr, bi_ + pi
+
+            # batched double solve at -a: rows [M y ; ybar]
+            myr, myi = M_apply(yr, yi, c)
+            B = yr.shape[0]
+            sr, si = adj_solve(jnp.concatenate([myr, br_]),
+                               jnp.concatenate([myi, bi_]), c)
+            kr, ki = sr[:B], si[:B]          # P_{-a}(M y): reconstruction
+            wr, wi = sr[B:], si[B:]          # P_{-a}(ybar): adjoint solve
+
+            x_prev_r = yr - dt * kr
+            x_prev_i = yi - dt * ki
+            # exact transpose of the computed step: xbar = ybar - dt M w
+            mwr, mwi = M_apply(wr, wi, c)
+            xbar_r = br_ - dt * mwr
+            xbar_i = bi_ - dt * mwi
+            # IMR midpoint state (x + y)/2 = y - a k
+            xm_r = yr - a * kr
+            xm_i = yi - a * ki
+
+            dc = _dC_contractions(engine, wr, wi, xm_r, xm_i, dt, c)
+            return (x_prev_r, x_prev_i, xbar_r, xbar_i), dc[None, :]
+
+        (x0r, x0i, x0br, x0bi), C_bar = jax.lax.scan(
+            body, (xT[0], xT[1], yTr_bar, yTi_bar), (C, extras),
+            reverse=True)
+        C_bar = C_bar.astype(C.dtype)
+
+        def _zero(x):
+            if jnp.issubdtype(x.dtype, jnp.floating) or \
+                    jnp.issubdtype(x.dtype, jnp.complexfloating):
+                return jnp.zeros_like(x)
+            return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+        return (x0br, x0bi), C_bar, jax.tree.map(_zero, extras)
+
+    propagate.defvjp(fwd, bwd)
+    return propagate

@@ -324,49 +324,75 @@ def _group_ops_device(model: StructuredModel, dims_g, offset, dtype):
     return build
 
 
-def make_real_imr_step(engine: "GroupedEngine", dt: float, iters: int):
-    """Fully REAL-arithmetic Jacobi-preconditioned IMR step for the grouped
-    engine: state carried as f32 planes (Xr, Xi) of shape (B, m1, m2); no
-    complex dtype anywhere in the compiled program (some TPU backends
-    mishandle large fused complex elementwise ops).
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
 
-    Math: M = -iH; generator diag d = -i h (h = real drift diagonal);
-    Minv = (1 - i a h)/(1 + a^2 h^2) with a = dt/2. All Jacobi-Neumann
-    updates expand into real plane arithmetic.
-    Returns step(Xr, Xi, c) -> (Xr', Xi').
+
+def make_M_apply(engine: "GroupedEngine"):
+    """(vr, vi, c) -> planes of M v with M = -i H(c)."""
+    def M_apply(vr, vi, c):
+        Hr, Hi = engine.apply_H_planes(c, vr, vi)
+        return Hi, -Hr
+    return M_apply
+
+
+def make_jacobi_solver(engine: "GroupedEngine", g: float, iters: int):
+    """Truncated Jacobi-preconditioned Neumann solve of (I - g M) k = b in
+    real planes: M = -iH, generator diag d = -i h (h = real drift diagonal),
+    Minv = 1/(1 - i g h) applied elementwise, off-diagonal correction
+    iterated `iters` times.
+
+    The iteration is the polynomial  P_g(M) = sum_j (g Minv (M - d))^j Minv;
+    its real-plane TRANSPOSE is P_{-g}(M) (M^T = -M, d^T = -d,
+    Minv^T = conj(Minv)) — the identity the hand-written adjoint in
+    grouped_adjoint.py is built on.
+
+    Returns solve(br, bi, c) -> (kr, ki).
     """
     import numpy as _np
 
     rdt = _np.float32 if engine.dtype == jnp.complex64 else _np.float64
     h = _np.asarray(-engine.gen_diag().imag, dtype=rdt)   # gen_diag = -i h
     h = h.reshape(engine.m1, engine.m2)
-    a = float(dt) / 2.0
-    den = 1.0 / (1.0 + (a * h) ** 2)
-    Minv_r = _np.asarray(den, dtype=rdt)                  # Re(1/(1 + i a h))
-    Minv_i = _np.asarray(-a * h * den, dtype=rdt)         # Im
+    den = 1.0 / (1.0 + (g * h) ** 2)
+    Minv_r = _np.asarray(den, dtype=rdt)                  # Re(1/(1 + i g h))
+    Minv_i = _np.asarray(-g * h * den, dtype=rdt)         # Im
+    M_apply = make_M_apply(engine)
 
-    def cmul(ar, ai, br, bi):
-        return ar * br - ai * bi, ar * bi + ai * br
-
-    def step(Xr, Xi, c):
+    def solve(br, bi, c):
         MR = jnp.asarray(Minv_r)[None]
         MI = jnp.asarray(Minv_i)[None]
         hh = jnp.asarray(h)[None]
-
-        def M_apply(vr, vi):
-            Hr, Hi = engine.apply_H_planes(c, vr, vi)
-            return Hi, -Hr                                # -i H v
-
-        br, bi = M_apply(Xr, Xi)
-        kr, ki = cmul(MR, MI, br, bi)
+        kr, ki = _cmul(MR, MI, br, bi)
         for _ in range(iters):
-            mr, mi = M_apply(kr, ki)
+            mr, mi = M_apply(kr, ki, c)
             # subtract d*k with d = -i h: d*k = (h*ki, -h*kr)
             tr = mr - hh * ki
             ti = mi + hh * kr
-            ur = br + a * tr
-            ui = bi + a * ti
-            kr, ki = cmul(MR, MI, ur, ui)
+            ur = br + g * tr
+            ui = bi + g * ti
+            kr, ki = _cmul(MR, MI, ur, ui)
+        return kr, ki
+
+    return solve
+
+
+def make_real_imr_step(engine: "GroupedEngine", dt: float, iters: int):
+    """Fully REAL-arithmetic Jacobi-preconditioned IMR step for the grouped
+    engine: state carried as f32 planes (Xr, Xi) of shape (B, m1, m2); no
+    complex dtype anywhere in the compiled program (some TPU backends
+    mishandle large fused complex elementwise ops).
+
+    x' = x + dt k,  (I - (dt/2) M) k = M x  via make_jacobi_solver.
+    Returns step(Xr, Xi, c) -> (Xr', Xi').
+    """
+    a = float(dt) / 2.0
+    solve = make_jacobi_solver(engine, a, iters)
+    M_apply = make_M_apply(engine)
+
+    def step(Xr, Xi, c):
+        br, bi = M_apply(Xr, Xi, c)
+        kr, ki = solve(br, bi, c)
         return Xr + dt * kr, Xi + dt * ki
 
     return step

@@ -43,7 +43,8 @@ def make_mesh(n_init: int, n_hilbert: int = 1, devices=None) -> Mesh:
 # engine-held big arrays; always replicated (they are O(K N) to O(K N^2)
 # operator data, small next to the batched states)
 ENGINE_ARRAYS = ("stack", "Ls", "stackL", "stackR", "cross_diag",
-                 "crossA", "crossB", "pallas_Sr", "pallas_Si")
+                 "crossA", "crossB", "jumpL", "jumpR",
+                 "pallas_Sr", "pallas_Si")
 
 
 def shard_problem(problem, mesh: Mesh, shard_hilbert: bool = False):

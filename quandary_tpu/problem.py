@@ -187,10 +187,17 @@ class Problem:
             use_grouped = (s.engine == "grouped" or (
                 s.engine == "auto" and not model.lindblad
                 and model.N >= 1 << 15))
+            use_grouped_lind = (model.lindblad and len(model.dims) >= 2 and (
+                s.engine == "grouped" or (
+                    s.engine == "auto" and model.N >= 1 << 9)))
             if use_grouped and not model.lindblad and len(model.dims) >= 2:
                 # large Schroedinger systems: matricized big-GEMM engine
                 from .ops.grouped_rhs import GroupedEngine
                 self.engine = GroupedEngine(model, dtype=s.dtype)
+            elif use_grouped_lind:
+                # large open systems: group GEMMs on the rank-4 rho view
+                from .ops.grouped_lindblad import GroupedLindbladEngine
+                self.engine = GroupedLindbladEngine(model, dtype=s.dtype)
             else:
                 self.engine = TensorEngine(model, dtype=s.dtype)
         else:
@@ -661,23 +668,33 @@ class Problem:
                 # forward step and its AD transpose is a real GEMM
                 # (ops/grouped_rhs.make_real_imr_step). Cuts the adjoint
                 # sweep cost vs differentiating the complex-arithmetic step.
-                from .ops.grouped_rhs import make_real_imr_step
                 eng = self.engine
                 B = self.ninit
-                rstep_f = make_real_imr_step(eng, s.dt, s.linsolve_iters)
-                rstep_b = make_real_imr_step(eng, -s.dt, s.linsolve_iters)
-                step_fwd_r = lambda x, c: tuple(rstep_f(x[0], x[1], c[0]))
-                step_bwd_r = lambda x, c: tuple(rstep_b(x[0], x[1], c[0]))
                 rdt = jnp.float32 if s.dtype == jnp.complex64 else jnp.float64
 
                 def to_complex(x):
                     return jax.lax.complex(x[0], x[1]).reshape(
                         B, self.N).astype(s.dtype)
 
-                prop = make_reversible_propagate(
-                    step_fwd_r, step_bwd_r,
-                    (lambda x, extra: penalty_fn(to_complex(x), extra))
-                    if use_pen else None)
+                pen_planes = (lambda x, extra: penalty_fn(to_complex(x), extra)) \
+                    if use_pen else None
+                if s.adjoint == "reversible-ad":
+                    # generic reversible adjoint (AD through the unrolled
+                    # stage solve) — kept as a cross-check path
+                    from .ops.grouped_rhs import make_real_imr_step
+                    rstep_f = make_real_imr_step(eng, s.dt, s.linsolve_iters)
+                    rstep_b = make_real_imr_step(eng, -s.dt, s.linsolve_iters)
+                    prop = make_reversible_propagate(
+                        lambda x, c: tuple(rstep_f(x[0], x[1], c[0])),
+                        lambda x, c: tuple(rstep_b(x[0], x[1], c[0])),
+                        pen_planes)
+                else:
+                    # hand-written solve-based adjoint: ~2x forward cost per
+                    # step vs ~7x for AD (ops/grouped_adjoint.py; the
+                    # reference's evolveBWD economics, timestepper.cpp:631-694)
+                    from .ops.grouped_adjoint import make_grouped_adjoint_propagate
+                    prop = make_grouped_adjoint_propagate(
+                        eng, s.dt, s.linsolve_iters, pen_planes)
                 x0c = jnp.asarray(self.x0, dtype=s.dtype).reshape(
                     B, eng.m1, eng.m2)
                 x0p = (self._shard_state(jnp.real(x0c).astype(rdt)),
@@ -755,7 +772,8 @@ class Problem:
         slots = [(self, "x0"), (self, "target")]
         eng = self.engine
         for name in ("stack", "Ls", "stackL", "stackR", "cross_diag",
-                     "crossA", "crossB", "pallas_Sr", "pallas_Si"):
+                     "crossA", "crossB", "jumpL", "jumpR",
+                     "pallas_Sr", "pallas_Si"):
             if getattr(eng, name, None) is not None:
                 slots.append((eng, name))
         out = []

@@ -1,0 +1,135 @@
+"""Performance-regression tier — the analog of the reference's
+pytest-benchmark cases + 120% alert (tests/performance/performance_test.py,
+.github/workflows/benchmark.yml:44-57).
+
+Gated behind QUANDARY_PERF=1 (timings on a shared/loaded machine are noise;
+the default suite stays deterministic). Committed baselines live in
+tests/perf_baseline.json keyed by a machine fingerprint; a run FAILS when a
+metric exceeds 120% of its baseline wall time on the same fingerprint, and
+SKIPS (with the measured number reported) on unknown machines. Re-baseline
+with QUANDARY_PERF_REBASE=1 (the rebaseTests.sh analog).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.performance,
+    pytest.mark.skipif(os.environ.get("QUANDARY_PERF", "0") != "1",
+                       reason="set QUANDARY_PERF=1 to run the perf tier"),
+]
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "perf_baseline.json")
+ALERT_RATIO = 1.2          # fail at >120% of baseline, like the reference
+REPS = 3
+
+
+def _fingerprint():
+    return f"cpu{os.cpu_count()}"
+
+
+def _check(metric: str, seconds: float):
+    data = {}
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            data = json.load(f)
+    key = _fingerprint()
+    if os.environ.get("QUANDARY_PERF_REBASE", "0") == "1":
+        data.setdefault(key, {})[metric] = round(seconds, 4)
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+        pytest.skip(f"rebaselined {metric} = {seconds:.4f}s")
+    base = data.get(key, {}).get(metric)
+    if base is None:
+        pytest.skip(f"no baseline for {key}/{metric} "
+                    f"(measured {seconds:.4f}s; rebase to record)")
+    assert seconds <= ALERT_RATIO * base, (
+        f"{metric}: {seconds:.4f}s > {ALERT_RATIO:.0%} of baseline "
+        f"{base:.4f}s")
+
+
+def _best_of(fn, reps=REPS):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def test_cnot_gradient_sweep_cpu():
+    """One forward+adjoint gradient sweep of the CNOT flagship (the bench.py
+    workload) on CPU."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax.numpy as jnp
+    from bench import build_problem
+
+    problem, setup = build_problem(pallas=False)
+    vg = problem.build_value_and_grad()
+    params = jnp.asarray(np.random.default_rng(1).uniform(
+        -1, 1, setup.nparams) * 0.005, dtype=jnp.float32)
+    (J, aux), g = vg(params, params)       # compile
+    float(J)
+
+    def sweep():
+        (J, aux), g = vg(params, params)
+        float(J)
+
+    _check("cnot_gradient_sweep_cpu_s", _best_of(sweep))
+
+
+def test_grouped_4444_gradient_sweep_cpu():
+    """Gradient sweep of the grouped 4,4,4,4 problem (hand-written
+    solve-based adjoint, ops/grouped_adjoint.py) on CPU."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _build_grouped_problem
+
+    prob, setup = _build_grouped_problem(nlev=4, ntime=20, T=2.0)
+    vg = prob.build_value_and_grad()
+    params = jnp.asarray(np.zeros(setup.nparams), dtype=jnp.float32)
+    (J, aux), g = vg(params, params)
+    float(J)
+
+    def sweep():
+        (J2, _), g2 = vg(params, params)
+        float(J2)
+
+    _check("grouped_4444_gradient_sweep_cpu_s", _best_of(sweep))
+
+
+def test_grouped_lindblad_forward_cpu():
+    """Forward step throughput of the grouped Lindblad engine at N=256
+    (rho = 65536 elements) on CPU."""
+    import jax.numpy as jnp
+    from quandary_tpu.ops.grouped_lindblad import GroupedLindbladEngine
+    from quandary_tpu.ops.tensor_rhs import build_structured_model
+    import jax
+
+    model = build_structured_model(
+        nlevels=[16, 16], freq01_ghz=[4.1, 4.2], rotfreq_ghz=[4.1, 4.2],
+        selfkerr_ghz=[0.2, 0.2], crosskerr_ghz=[0.001], jkl_ghz=[0.001],
+        decay_time=[100.0, 120.0], dephase_time=[50.0, 60.0], lindblad=True)
+    eng = GroupedLindbladEngine(model, dtype=jnp.complex64)
+    rng = np.random.default_rng(0)
+    N = model.N
+    x = jnp.asarray((rng.normal(size=(1, N, N))
+                     + 1j * rng.normal(size=(1, N, N))).astype(np.complex64))
+    c = jnp.ones((model.K,), jnp.float32)
+    f = jax.jit(lambda c, x: eng.rhs(c, x))
+    np.asarray(f(c, x))                    # compile
+
+    def many():
+        y = x
+        for _ in range(20):
+            y = f(c, y)
+        np.asarray(y)
+
+    _check("grouped_lindblad_rhs20_n256_cpu_s", _best_of(many))

@@ -43,55 +43,49 @@ def test_sharded_grouped_matches_unsharded():
     the (B, m1, m2) state sharded on m1 over 'hilbert' must reproduce the
     unsharded objective and gradient exactly — X @ H_R^T and the diagonal
     cross-Kerr mask are local, H_L @ X and the cross-JC products gather the
-    state over 'hilbert' (parallel/mesh.py)."""
+    state over 'hilbert' (parallel/mesh.py). Also covers the composed
+    path (shard_problem THEN build_value_and_grad: _wrap_with_data must
+    materialize the threaded arrays with mesh shardings).
+
+    One mesh config per path: the SPMD-partitioned reversible-adjoint
+    compile is ~2 min/config on the virtual CPU mesh, so this test keeps
+    the config set minimal; dryrun_multichip exercises a second shape.
+    """
     from __graft_entry__ import _build_grouped_problem
     from quandary_tpu.parallel.mesh import make_mesh, shard_problem
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
 
-    prob_ref, setup = _build_grouped_problem(dtype=jnp.complex128)
+    # nlev=4 -> m1 = m2 = 16, divisible by every hilbert-axis size used
+    kw = dict(nlev=4, ntime=8, T=0.8, dtype=jnp.complex128,
+              linsolve_iters=4)
+    prob_ref, setup = _build_grouped_problem(**kw)
     params = jnp.asarray(
         np.random.default_rng(3).normal(size=setup.nparams) * 0.02)
     (J_ref, aux_ref), g_ref = jax.value_and_grad(
         prob_ref.objective, has_aux=True)(params, params)
 
-    for (ni, nh) in [(4, 2), (2, 4), (1, 8)]:
-        prob, _ = _build_grouped_problem(dtype=jnp.complex128)
-        mesh = make_mesh(ni, nh)
-        shard_problem(prob, mesh, shard_hilbert=True)
-        with mesh:
-            (J, aux), g = jax.jit(jax.value_and_grad(
-                prob.objective, has_aux=True))(params, params)
-        assert abs(float(J) - float(J_ref)) < 1e-10, (ni, nh)
-        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
-                                   rtol=1e-8, atol=1e-12)
-
-
-def test_sharded_grouped_wrapped_value_and_grad():
-    """The composed path: shard_problem THEN build_value_and_grad — the
-    threaded big arrays must be materialized with mesh shardings
-    (_wrap_with_data mesh placement) and match the unsharded result."""
-    from __graft_entry__ import _build_grouped_problem
-    from quandary_tpu.parallel.mesh import make_mesh, shard_problem
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 devices")
-
-    prob_ref, setup = _build_grouped_problem(dtype=jnp.complex128)
-    params = jnp.asarray(
-        np.random.default_rng(5).normal(size=setup.nparams) * 0.02)
-    (J_ref, _), g_ref = jax.value_and_grad(
-        prob_ref.objective, has_aux=True)(params, params)
-
-    prob, _ = _build_grouped_problem(dtype=jnp.complex128)
-    mesh = make_mesh(4, 2)
+    # direct jit of problem.objective on a 2x4 mesh
+    prob, _ = _build_grouped_problem(**kw)
+    mesh = make_mesh(2, 4)
     shard_problem(prob, mesh, shard_hilbert=True)
     with mesh:
-        vg = prob.build_value_and_grad()
-        (J, _), g = vg(params, params)
+        (J, aux), g = jax.jit(jax.value_and_grad(
+            prob.objective, has_aux=True))(params, params)
     assert abs(float(J) - float(J_ref)) < 1e-10
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-12)
+
+    # composed wrapped path on a 4x2 mesh
+    prob2, _ = _build_grouped_problem(**kw)
+    mesh2 = make_mesh(4, 2)
+    shard_problem(prob2, mesh2, shard_hilbert=True)
+    with mesh2:
+        vg = prob2.build_value_and_grad()
+        (J2, _), g2 = vg(params, params)
+    assert abs(float(J2) - float(J_ref)) < 1e-10
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g_ref),
                                rtol=1e-8, atol=1e-12)
 
 
