@@ -11,10 +11,15 @@ Workload: 2-qubit CNOT gate optimization, reference quality-anchor shape
 (tests/python/test_example_cnot.py): T=200 ns, ntime=1221, 2 guard levels,
 ninit=4 basis states, 2 carrier waves per qubit, all penalties on.
 
-vs_baseline: ratio against an estimated 2.0 sweeps/s for the MPI CPU
-reference on this configuration (the reference publishes no absolute
-numbers — BASELINE.md; estimate from the regression-test wall times of
-comparable configs on one core x 4 procs).
+vs_baseline: ratio against a MEASURED 22.0 sweeps/s anchor for the MPI CPU
+reference at its maximal parallelization of this configuration (np=4,
+comm_init=4 — one rank per basis initial condition; comm_init cannot
+exceed ninit=4 here). The reference publishes no absolute numbers and
+cannot be built in this image (no PETSc/MPI, no egress), so the anchor is
+measured by proxy: this repo's own f64 single-core plain-scan path timed
+on the exact flagship config (5.50 sweeps/s), x4 ideal comm_init scaling
+granted to the reference. Method + biases (all chosen in the reference's
+favor): scripts/perf/reference_anchor.py; measured row in BASELINE.md.
 """
 
 import json
@@ -22,7 +27,8 @@ import time
 
 import numpy as np
 
-REFERENCE_SWEEPS_PER_S = 2.0  # estimated MPI-CPU reference throughput
+# measured anchor: scripts/perf/reference_anchor.py (2026-08-17, 4-core host)
+REFERENCE_SWEEPS_PER_S = 22.0
 
 
 def build_problem(pallas="auto"):
