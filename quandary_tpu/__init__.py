@@ -21,6 +21,17 @@ reference's .cfg and .dat formats for golden-file testing and migration.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls on f32 operands default to a SINGLE bf16 pass (~8-bit
+# mantissa): each product carries ~4e-3 relative error, which compounds
+# fatally over a 1000+-step sequential integrator and silently corrupts
+# every "f32" result on TPU (CPU f32 is unaffected). The reference runs
+# f64 throughout; full-f32 multi-pass emulation ("highest") is this
+# framework's accuracy floor. Respect an explicit user/app override.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from .api import Quandary
 from .utils.operators import (
     lowering,

@@ -45,7 +45,10 @@ if _HAVE_PLTPU:  # pragma: no branch
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # HIGHEST: f32 multi-pass — the default single bf16 pass (~4e-3 relative
+    # per product) compounds fatally over ntime sequential steps.
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _chunk_len(P: int, Bp: int, budget_bytes: int = 5 << 20) -> int:

@@ -55,10 +55,12 @@ def _step_kernel(Hr_ref, Hi_ref, xr_ref, xi_ref, our_ref, oui_ref,
 
     def matvec(vr, vi):
         # y = -i H v with v as rows: Hv -> v @ H^T ; -i(ar + i ai) = ai - i ar
-        ar = jnp.dot(vr, Hr.T, preferred_element_type=jnp.float32) \
-            - jnp.dot(vi, Hi.T, preferred_element_type=jnp.float32)
-        ai = jnp.dot(vr, Hi.T, preferred_element_type=jnp.float32) \
-            + jnp.dot(vi, Hr.T, preferred_element_type=jnp.float32)
+        # HIGHEST: full-f32 matmul passes (the default single bf16 pass
+        # compounds ~4e-3 relative error per product over ntime steps)
+        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        ar = dot(vr, Hr.T) - dot(vi, Hi.T)
+        ai = dot(vr, Hi.T) + dot(vi, Hr.T)
         return ai, -ar
 
     br, bi = matvec(xr, xi)

@@ -1,0 +1,401 @@
+"""Grid-streamed Pallas propagation: the whole time loop is ONE kernel
+launch per direction, with the per-step Hamiltonian planes streamed
+HBM->VMEM by the Mosaic pipeline (automatically double-buffered) while the
+state (forward) / adjoint (backward) is carried across grid steps in a
+revisited VMEM block.
+
+This removes both limits of the chunked multi-step path
+(ops/pallas_adjoint.py): the VMEM cap on steps-per-launch (all Tc planes
+had to be resident, capping Tc at ~16 for P=128) and the per-launch
+dispatch overhead between chunks (ntime/Tc launches -> 1). Per-step HBM
+traffic is 2 f32 planes in (~128 KB at P=128), overlapped with the
+Neumann iterates' MXU work by the pipeline.
+
+Carry mechanics: the final-state output block has a CONSTANT index map, so
+Mosaic keeps it resident in VMEM across every grid step and flushes it to
+HBM once at the end; the kernel reads it as the incoming state and writes
+the stepped state back (initialized from the x0 operand at program_id 0).
+`pl.program_id` indexes USER grid axes only (vmapped batch axes are
+excluded by the lowering), so the ensemble path — `jax.vmap` over control
+candidates, which prepends a parallel grid axis — works unchanged.
+
+Two stage-solve variants, matching ops/steppers.py exactly:
+
+* neumann — k <- b + a T(k) (timestepper.cpp:697-727 semantics);
+* jacobi  — k <- Minv*(b + a(T(k) - d*k)), the Jacobi-preconditioned
+  iteration of steppers.jacobi_neumann_solve with the STATIC drift
+  diagonal d (time-independent in the rotating frame) and
+  Minv = 1/(1 - a d) precomputed on the host. This lifts the fused path's
+  stiff-system exclusion: problems where plain Neumann diverges run fused.
+
+The backward kernel applies the exact real-arithmetic transpose of the
+computed forward step (the reference's discrete adjoint, evolveBWD,
+timestepper.cpp:631-694), replaying the stage iterates from the stored
+pre-step states and emitting per-step Hamiltonian-plane cotangents; the
+coefficient gradient is one batched contraction outside the kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+from .pallas_kernels import _HAVE_PLTPU, _round_up
+
+if _HAVE_PLTPU:  # pragma: no branch
+    from jax.experimental.pallas import tpu as pltpu
+
+
+def _dot(a, b):
+    # precision=HIGHEST: TPU matmuls on f32 operands default to ONE bf16
+    # pass (~8-bit mantissa, ~4e-3 relative error per product) — fatal for
+    # a 1000+-step sequential integrator (the state explodes). HIGHEST
+    # requests full-f32 multi-pass emulation; these (8,128)x(128,128)
+    # matmuls are latency-bound, so the extra MXU passes are ~free.
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _jacobi_planes(gen_diag, dt: float, N: int, P: int):
+    """f32 (1, P) planes of d and Minv = 1/(1 - (dt/2) d), host-computed in
+    f64. Padded entries get d = 0, Minv = 1 (identity on the padding)."""
+    d = np.zeros((P,), np.complex128)
+    d[:N] = np.asarray(gen_diag, dtype=np.complex128).reshape(-1)
+    minv = 1.0 / (1.0 - 0.5 * dt * d)
+    return (d.real.astype(np.float32)[None], d.imag.astype(np.float32)[None],
+            minv.real.astype(np.float32)[None],
+            minv.imag.astype(np.float32)[None])
+
+
+def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
+              xr_ref, xi_ref, hr_ref, hi_ref, *, dt, iters, jac):
+    """One forward IMR step of the streamed grid (jac: None for plain
+    Neumann, or the (dr, di, mr, mi) plane tuple for the Jacobi solve)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        xr_ref[:] = x0r_ref[:]
+        xi_ref[:] = x0i_ref[:]
+
+    Hr = Hr_ref[0]
+    Hi = Hi_ref[0]
+
+    def matvec(vr, vi):  # T(v) = -i H v, rows: v @ H^T in planes
+        ar = _dot(vr, Hr.T) - _dot(vi, Hi.T)
+        ai = _dot(vr, Hi.T) + _dot(vi, Hr.T)
+        return ai, -ar
+
+    a = dt / 2.0
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    br, bi = matvec(xr, xi)
+    if jac is None:
+        kr, ki = br, bi
+        for _ in range(iters):
+            mr, mi = matvec(kr, ki)
+            kr = br + a * mr
+            ki = bi + a * mi
+    else:
+        dr, di_, mr_, mi_ = jac
+
+        def W(vr, vi):  # elementwise complex multiply by Minv
+            return mr_ * vr - mi_ * vi, mi_ * vr + mr_ * vi
+
+        kr, ki = W(br, bi)
+        for _ in range(iters):
+            tr, ti = matvec(kr, ki)
+            ur = tr - (dr * kr - di_ * ki)
+            ui = ti - (dr * ki + di_ * kr)
+            kr, ki = W(br + a * ur, bi + a * ui)
+    xr = xr + dt * kr
+    xi = xi + dt * ki
+    xr_ref[:] = xr
+    xi_ref[:] = xi
+    hr_ref[0] = xr
+    hi_ref[0] = xi
+
+
+def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
+              gTr_ref, gTi_ref, gr_ref, gi_ref, Hbr_ref, Hbi_ref,
+              *, dt, iters, jac):
+    """Exact real-arithmetic transpose of one computed step (the grid runs
+    steps in REVERSE order via the index maps)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        gr_ref[:] = gTr_ref[:]
+        gi_ref[:] = gTi_ref[:]
+
+    Hr = Hr_ref[0]
+    Hi = Hi_ref[0]
+    xpr = xpr_ref[0]
+    xpi = xpi_ref[0]
+    gr = gr_ref[:] + jr_ref[0]
+    gi = gi_ref[:] + ji_ref[0]
+    a = dt / 2.0
+
+    def T(vr, vi):
+        ar = _dot(vr, Hr.T) - _dot(vi, Hi.T)
+        ai = _dot(vr, Hi.T) + _dot(vi, Hr.T)
+        return ai, -ar
+
+    def Tt(ur, ui):  # real transpose of T (no Hermiticity assumption)
+        return (_dot(ur, Hi) - _dot(ui, Hr),
+                _dot(ur, Hr) + _dot(ui, Hi))
+
+    def acc_H(Hbr, Hbi, cr, ci, ur, ui):
+        # cotangent (cr, ci) at T's output with input (ur, ui) -> H-plane cot
+        Hbr = Hbr + (_dot(ui.T, cr).T - _dot(ur.T, ci).T)
+        Hbi = Hbi + (_dot(ur.T, cr).T + _dot(ui.T, ci).T)
+        return Hbr, Hbi
+
+    Hbr = jnp.zeros_like(Hr)
+    Hbi = jnp.zeros_like(Hi)
+    bbr = jnp.zeros_like(gr)
+    bbi = jnp.zeros_like(gi)
+    kbr = dt * gr
+    kbi = dt * gi
+
+    if jac is None:
+        # replay the Neumann iterates k_0..k_{iters-1}
+        br, bi = T(xpr, xpi)
+        ks = [(br, bi)]
+        kr, ki = br, bi
+        for _ in range(iters - 1):
+            mr, mi = T(kr, ki)
+            kr = br + a * mr
+            ki = bi + a * mi
+            ks.append((kr, ki))
+        # transpose of k_j = b + a T(k_{j-1}), j = iters..1; k_0 = b
+        for j in range(iters, 0, -1):
+            bbr = bbr + kbr
+            bbi = bbi + kbi
+            ur, ui = ks[j - 1]
+            Hbr, Hbi = acc_H(Hbr, Hbi, a * kbr, a * kbi, ur, ui)
+            kbr, kbi = Tt(a * kbr, a * kbi)
+        bbr = bbr + kbr
+        bbi = bbi + kbi
+    else:
+        dr, di_, mr_, mi_ = jac
+
+        def W(vr, vi):
+            return mr_ * vr - mi_ * vi, mi_ * vr + mr_ * vi
+
+        def Wt(ur, ui):  # transpose of W = multiply by conj(Minv)
+            return mr_ * ur + mi_ * ui, mr_ * ui - mi_ * ur
+
+        def Dt(ur, ui):  # transpose of v -> d*v = multiply by conj(d)
+            return dr * ur + di_ * ui, dr * ui - di_ * ur
+
+        # replay k_0..k_{iters-1} of the Jacobi iteration
+        br, bi = T(xpr, xpi)
+        kr, ki = W(br, bi)
+        ks = [(kr, ki)]
+        for _ in range(iters - 1):
+            tr, ti = T(kr, ki)
+            ur = tr - (dr * kr - di_ * ki)
+            ui = ti - (dr * ki + di_ * kr)
+            kr, ki = W(br + a * ur, bi + a * ui)
+            ks.append((kr, ki))
+        # transpose of k_j = W(b + a(T(k_{j-1}) - d k_{j-1})), j = iters..1
+        for j in range(iters, 0, -1):
+            ur, ui = Wt(kbr, kbi)
+            bbr = bbr + ur
+            bbi = bbi + ui
+            pr, pi_ = ks[j - 1]
+            Hbr, Hbi = acc_H(Hbr, Hbi, a * ur, a * ui, pr, pi_)
+            t1r, t1i = Tt(a * ur, a * ui)
+            d1r, d1i = Dt(a * ur, a * ui)
+            kbr = t1r - d1r
+            kbi = t1i - d1i
+        # k_0 = W(b)
+        ur, ui = Wt(kbr, kbi)
+        bbr = bbr + ur
+        bbi = bbi + ui
+
+    # b = T(x_pre): route b-bar into the pre-state and the H planes
+    Hbr, Hbi = acc_H(Hbr, Hbi, bbr, bbi, xpr, xpi)
+    tr, ti = Tt(bbr, bbi)
+    gr_ref[:] = gr + tr
+    gi_ref[:] = gi + ti
+    Hbr_ref[0] = Hbr
+    Hbi_ref[0] = Hbi
+
+
+def make_stream_propagate(stack, dt: float, iters: int = 10,
+                          gen_diag=None, linsolver: str = "neumann",
+                          interpret: bool = False):
+    """Build propagate(Sr, Si, x0, C) -> (xT, history) on the streamed
+    kernels, differentiable in x0 and C — the same contract as
+    pallas_adjoint.make_pallas_propagate (history is the complex
+    (ntime, B, N) post-step states; penalties are jnp functions of it).
+
+    linsolver='jacobi' requires gen_diag (the static elementwise generator
+    diagonal) and matches steppers.jacobi_neumann_solve bit-for-bit in
+    structure (same recursion, f32 planes).
+    """
+    stack = np.asarray(stack)
+    K, N, _ = stack.shape
+    P = _round_up(N, 128)
+    dt = float(dt)
+    iters = int(iters)
+    if linsolver == "jacobi":
+        if gen_diag is None:
+            raise ValueError("jacobi streamed solve requires gen_diag")
+        jac_np = _jacobi_planes(gen_diag, dt, N, P)
+    elif linsolver == "neumann":
+        jac_np = None
+    else:
+        raise ValueError(f"streamed pallas supports neumann/jacobi, "
+                         f"got {linsolver!r}")
+
+    vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
+    cparams = {} if not _HAVE_PLTPU else {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))}
+
+    def _jac_args():
+        return tuple(jnp.asarray(p) for p in jac_np)
+
+    def _pack(x0):
+        B = x0.shape[0]
+        Bp = _round_up(B, 8)
+        xr = jnp.zeros((Bp, P), jnp.float32).at[:B, :N].set(
+            jnp.real(x0).astype(jnp.float32))
+        xi = jnp.zeros((Bp, P), jnp.float32).at[:B, :N].set(
+            jnp.imag(x0).astype(jnp.float32))
+        return xr, xi
+
+    def _unpack_hist(hr, hi, B, dtype):
+        return (hr[:, :B, :N] + 1j * hi[:, :B, :N]).astype(dtype)
+
+    def _h_planes(C, Sr, Si):
+        Cf = C.astype(jnp.float32)
+        return (jnp.tensordot(Cf, Sr, axes=1),
+                jnp.tensordot(Cf, Si, axes=1))
+
+    def _fwd_call(nsteps, Bp):
+        plane = pl.BlockSpec((1, P, P), lambda i: (i, 0, 0), **vmem)
+        full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
+        row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
+        in_specs = [plane, plane, full, full]
+        if jac_np is not None:
+            in_specs += [row] * 4
+
+        def body(*refs):
+            if jac_np is None:
+                (Hr, Hi, x0r, x0i, xr, xi, hr, hi), jac = refs, None
+            else:
+                Hr, Hi, x0r, x0i, dr, di_, mr_, mi_, xr, xi, hr, hi = refs
+                jac = (dr[:], di_[:], mr_[:], mi_[:])
+            _fwd_body(Hr, Hi, x0r, x0i, xr, xi, hr, hi,
+                      dt=dt, iters=iters, jac=jac)
+
+        return pl.pallas_call(
+            body,
+            grid=(nsteps,),
+            out_shape=(jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2
+            + (jax.ShapeDtypeStruct((nsteps, Bp, P), jnp.float32),) * 2,
+            in_specs=in_specs,
+            out_specs=(full, full,
+                       pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem),
+                       pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem)),
+            interpret=interpret,
+            **cparams)
+
+    def _bwd_call(nsteps, Bp):
+        rev3 = pl.BlockSpec((1, P, P), lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                            **vmem)
+        revs = pl.BlockSpec((1, Bp, P),
+                            lambda i, n=nsteps: (n - 1 - i, 0, 0), **vmem)
+        full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
+        row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
+        in_specs = [rev3, rev3, revs, revs, revs, revs, full, full]
+        if jac_np is not None:
+            in_specs += [row] * 4
+
+        def body(*refs):
+            if jac_np is None:
+                (Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
+                 gr, gi, Hbr, Hbi), jac = refs, None
+            else:
+                (Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
+                 dr, di_, mr_, mi_, gr, gi, Hbr, Hbi) = refs
+                jac = (dr[:], di_[:], mr_[:], mi_[:])
+            _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
+                      gr, gi, Hbr, Hbi, dt=dt, iters=iters, jac=jac)
+
+        return pl.pallas_call(
+            body,
+            grid=(nsteps,),
+            out_shape=(jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2
+            + (jax.ShapeDtypeStruct((nsteps, P, P), jnp.float32),) * 2,
+            in_specs=in_specs,
+            out_specs=(full, full, rev3, rev3),
+            interpret=interpret,
+            **cparams)
+
+    def _run_forward(Sr, Si, x0, C):
+        B, dtype = x0.shape[0], x0.dtype
+        ntime = C.shape[0]
+        xr0, xi0 = _pack(x0)
+        Bp = xr0.shape[0]
+        Hr, Hi = _h_planes(C, Sr, Si)
+        args = (Hr, Hi, xr0, xi0)
+        if jac_np is not None:
+            args = args + _jac_args()
+        xr, xi, hr, hi = _fwd_call(ntime, Bp)(*args)
+        xT = (xr[:B, :N] + 1j * xi[:B, :N]).astype(dtype)
+        return xT, _unpack_hist(hr, hi, B, dtype), (hr, hi)
+
+    @jax.custom_vjp
+    def propagate(Sr, Si, x0, C):
+        xT, hist, _ = _run_forward(Sr, Si, x0, C)
+        return xT, hist
+
+    def fwd2(Sr, Si, x0, C):
+        xT, hist, planes = _run_forward(Sr, Si, x0, C)
+        x0p = _pack(x0)
+        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p)
+
+    def bwd2(res, cots):
+        Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i) = res
+        xT_bar, hist_bar = cots
+        B, dtype = x0_proto.shape[0], x0_proto.dtype
+        ntime = C.shape[0]
+        Bp = hr.shape[1]
+        Hr, Hi = _h_planes(C, Sr, Si)
+
+        # per-step cotangent injections from the history cotangent
+        _, h_vjp = jax.vjp(lambda a, b: _unpack_hist(a, b, B, dtype), hr, hi)
+        jr, ji = h_vjp(hist_bar)
+
+        # pre-step states: pre[t] = hist[t-1], pre[0] = x0
+        pre_r = jnp.concatenate([x0r[None], hr[:-1]])
+        pre_i = jnp.concatenate([x0i[None], hi[:-1]])
+
+        # incoming cotangent of the FINAL state (plane form)
+        def unpack_xT(a, b):
+            return (a[:B, :N] + 1j * b[:B, :N]).astype(dtype)
+
+        _, u_vjp = jax.vjp(unpack_xT, hr[-1], hi[-1])
+        gTr, gTi = u_vjp(xT_bar)
+
+        args = (Hr, Hi, pre_r, pre_i, jr, ji, gTr, gTi)
+        if jac_np is not None:
+            args = args + _jac_args()
+        gr, gi, Hbr, Hbi = _bwd_call(ntime, Bp)(*args)
+
+        _, pk_vjp = jax.vjp(_pack, x0_proto)
+        (x0_bar,) = pk_vjp((gr, gi))
+        C_bar = (jnp.einsum("npq,kpq->nk", Hbr, Sr)
+                 + jnp.einsum("npq,kpq->nk", Hbi, Si)).astype(C.dtype)
+        return jnp.zeros_like(Sr), jnp.zeros_like(Si), x0_bar, C_bar
+
+    propagate.defvjp(fwd2, bwd2)
+    return propagate

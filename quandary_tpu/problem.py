@@ -147,6 +147,13 @@ class Setup:
     # complex64 closed systems with plain-Neumann stage solves; True forces
     # (interpret mode off-TPU, for tests); False disables.
     pallas: object = "auto"
+    # Kernel form for the fused path: 'stream' (default) launches ONE
+    # grid-over-steps kernel per direction with the Hamiltonian planes
+    # pipelined HBM->VMEM (ops/pallas_stream.py — no steps-per-launch VMEM
+    # cap, supports the Jacobi-preconditioned stage solve for stiff
+    # systems); 'chunk' keeps the Tc-steps-per-launch kernels
+    # (ops/pallas_adjoint.py) as a cross-check path.
+    pallas_mode: str = "stream"
     # Time-parallel propagation (ops/propagator.py): 'auto' enables it for
     # small dense systems where ntime * dim^2 fits comfortably in memory;
     # True forces, False disables (sequential lax.scan).
@@ -306,10 +313,16 @@ class Problem:
                                     s.linsolve_iters, self.linsolver,
                                     gen_diag=self.gen_diag)
 
-        # --- fused Pallas path feasibility (ops/pallas_adjoint.py) ---
+        # --- fused Pallas path feasibility ---
+        # The streamed kernels (ops/pallas_stream.py) also cover the
+        # Jacobi-preconditioned stage solve, so stiff closed systems run
+        # fused; the chunked cross-check path (ops/pallas_adjoint.py) is
+        # plain-Neumann only.
+        pallas_solvers = ("neumann", "jacobi") if s.pallas_mode == "stream" \
+            else ("neumann",)
         pallas_ok = (not self.lindblad
                      and s.timestepper.upper() == "IMR"
-                     and self.linsolver == "neumann"
+                     and self.linsolver in pallas_solvers
                      and s.dtype == jnp.complex64
                      and isinstance(self.engine, DenseEngine))
         if s.pallas == "auto":
@@ -611,15 +624,24 @@ class Problem:
         use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
 
         if self.use_pallas:
-            # Fused multi-step Pallas propagation (ops/pallas_adjoint.py):
-            # one kernel per Tc-step chunk in each direction, state history
-            # stored (storeFWD analog) so every integral penalty is one
-            # vectorized op whose gradient flows through the kernel VJP.
-            from .ops.pallas_adjoint import make_pallas_propagate
-            prop = make_pallas_propagate(
-                np.zeros((self.model.K, self.N, self.N), np.complex64),
-                s.dt, s.linsolve_iters,
-                interpret=self._pallas_interpret)
+            # Fused Pallas propagation: state history stored (storeFWD
+            # analog) so every integral penalty is one vectorized op whose
+            # gradient flows through the hand-derived kernel VJP. 'stream'
+            # = one grid-over-steps launch per direction with pipelined
+            # H planes; 'chunk' = Tc steps per launch (cross-check).
+            shape_proto = np.zeros((self.model.K, self.N, self.N),
+                                   np.complex64)
+            if s.pallas_mode == "stream":
+                from .ops.pallas_stream import make_stream_propagate
+                prop = make_stream_propagate(
+                    shape_proto, s.dt, s.linsolve_iters,
+                    gen_diag=self.gen_diag, linsolver=self.linsolver,
+                    interpret=self._pallas_interpret)
+            else:
+                from .ops.pallas_adjoint import make_pallas_propagate
+                prop = make_pallas_propagate(
+                    shape_proto, s.dt, s.linsolve_iters,
+                    interpret=self._pallas_interpret)
             xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
                             jnp.asarray(self.engine.pallas_Si),
                             jnp.asarray(self.x0, dtype=s.dtype),

@@ -1,0 +1,187 @@
+"""Grid-streamed fused Pallas path (ops/pallas_stream.py): one launch per
+direction, H planes pipelined, state carried in a revisited VMEM block.
+Interpret-mode checks on CPU: parity with the chunked kernels, parity with
+plain AD for the Jacobi-preconditioned solve (stiff systems), vmap over
+candidates, and Problem-level objective/gradient parity with the scan path
+on a stiff configuration where the fused path previously disabled itself."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quandary_tpu.ops.pallas_adjoint import make_pallas_propagate, plane_args
+from quandary_tpu.ops.pallas_stream import make_stream_propagate
+from quandary_tpu.ops.steppers import jacobi_neumann_solve
+
+
+def _random_hermitian_stack(rng, K, N, stiff=0.0):
+    stack = np.zeros((K, N, N), dtype=np.complex128)
+    for k in range(K):
+        A = rng.normal(size=(N, N)) + 1j * rng.normal(size=(N, N))
+        stack[k] = (A + A.conj().T) / 2.0
+    if stiff:
+        stack[0] += np.diag(rng.uniform(stiff / 3.0, stiff, N))
+    return stack
+
+
+def _loss_pair(rng, B, N, ntime):
+    tgt = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
+           ).astype(np.complex64)
+    wt = rng.uniform(0.1, 1.0, ntime).astype(np.float32)
+
+    def loss(xT, hist):
+        ov = jnp.sum(jnp.conj(jnp.asarray(tgt)) * xT, axis=1)
+        hw = jnp.sum(jnp.asarray(wt)[:, None, None] * jnp.abs(hist) ** 2)
+        return jnp.sum(jnp.abs(ov) ** 2) + 0.25 * hw
+
+    return loss
+
+
+@pytest.mark.parametrize("ntime", [1, 7, 19])
+def test_stream_matches_chunked(ntime):
+    """Neumann variant: bit-identical math to the chunked kernels for any
+    ntime (no chunk-padding special case exists in the streamed form)."""
+    rng = np.random.default_rng(7)
+    K, N, B, dt, iters = 4, 12, 3, 0.02, 8
+    stack = _random_hermitian_stack(rng, K, N)
+    C = jnp.asarray(rng.normal(size=(ntime, K)) * 0.7)
+    x0 = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
+          ).astype(np.complex64)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    loss = _loss_pair(rng, B, N, ntime)
+
+    chunk = make_pallas_propagate(stack, dt, iters, interpret=True)
+    stream = make_stream_propagate(stack, dt, iters, interpret=True)
+
+    def f(prop):
+        def g(C, x0):
+            xT, hist = prop(Sr, Si, jnp.asarray(x0), C)
+            return loss(xT, hist)
+        return g
+
+    v0, g0 = jax.value_and_grad(f(chunk), argnums=(0, 1))(C, x0)
+    v1, g1 = jax.value_and_grad(f(stream), argnums=(0, 1))(C, x0)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-6)
+    for a, b in zip(g0, g1):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-6 * max(
+            np.abs(np.asarray(a)).max(), 1e-12)
+
+
+def test_stream_jacobi_matches_scan_ad():
+    """Jacobi variant on a STIFF diagonal (dt/2*|d| up to ~1, where plain
+    Neumann diverges): gradients must match plain AD through the identical
+    jacobi_neumann_solve recursion."""
+    rng = np.random.default_rng(1)
+    K, N, B, ntime, dt, iters = 4, 12, 2, 11, 0.05, 8
+    stack = _random_hermitian_stack(rng, K, N, stiff=40.0)
+    gen_diag = (-1j * np.diagonal(stack[0])).astype(np.complex64)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    x0 = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
+          ).astype(np.complex64)
+    C = np.asarray(rng.normal(size=(ntime, K)) * 0.3, dtype=np.float32)
+    C[:, 0] = 1.0
+    loss = _loss_pair(rng, B, N, ntime)
+
+    S = jnp.asarray(stack.astype(np.complex64))
+    d = jnp.asarray(gen_diag)[None]
+
+    def f_scan(C_, x0_):
+        def step(x, c):
+            H = jnp.tensordot(c.astype(jnp.complex64), S, axes=1)
+            mv = lambda v: -1j * (v @ H.T)
+            k = jacobi_neumann_solve(mv, d, mv(x), dt / 2.0, iters)
+            x = x + dt * k
+            return x, x
+        xT, hist = jax.lax.scan(step, jnp.asarray(x0_), jnp.asarray(C_))
+        return loss(xT, hist)
+
+    prop = make_stream_propagate(stack, dt, iters, gen_diag=gen_diag,
+                                 linsolver="jacobi", interpret=True)
+
+    def f_stream(C_, x0_):
+        xT, hist = prop(Sr, Si, jnp.asarray(x0_), jnp.asarray(C_))
+        return loss(xT, hist)
+
+    Cj = jnp.asarray(C)
+    v0, g0 = jax.value_and_grad(f_scan, argnums=(0, 1))(Cj, x0)
+    v1, g1 = jax.value_and_grad(f_stream, argnums=(0, 1))(Cj, x0)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-5)
+    for a, b in zip(g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 5e-5 * max(np.abs(a).max(), 1e-12)
+
+
+def test_stream_vmap_over_candidates():
+    """vmap prepends a parallel grid axis; program_id must keep indexing the
+    user step axis (carry init per candidate)."""
+    rng = np.random.default_rng(0)
+    K, N, B, ntime = 3, 6, 2, 5
+    stack = _random_hermitian_stack(rng, K, N)
+    prop = make_stream_propagate(stack, 0.02, 6, interpret=True)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    x0 = jnp.asarray((rng.normal(size=(B, N))
+                      + 1j * rng.normal(size=(B, N))).astype(np.complex64))
+    Cs = jnp.asarray(rng.normal(size=(4, ntime, K)).astype(np.float32))
+
+    def loss(C):
+        xT, hist = prop(Sr, Si, x0, C)
+        return (jnp.sum(jnp.abs(xT) ** 2 * jnp.arange(N)[None, :])
+                + 0.1 * jnp.sum(jnp.abs(hist[:, :, -1]) ** 2))
+
+    v, g = jax.vmap(jax.value_and_grad(loss))(Cs)
+    assert v.shape == (4,) and g.shape == Cs.shape
+    assert np.isfinite(np.asarray(v)).all()
+    v0, g0 = jax.value_and_grad(loss)(Cs[2])
+    assert abs(float(v[2]) - float(v0)) < 1e-5
+    assert np.abs(np.asarray(g[2] - g0)).max() < 1e-5
+
+
+def test_problem_stiff_jacobi_pallas_parity():
+    """A stiff config (large self-Kerr at coarse dt triggers the Jacobi
+    stage solve) must (a) remain pallas-eligible under the streamed kernels
+    and (b) match the scan path on value and gradient."""
+    from quandary_tpu.models.hamiltonian import build_standard_model
+    from quandary_tpu.problem import Problem, Setup
+    from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
+
+    T, ntime = 4.0, 12
+    model = build_standard_model(
+        nlevels=[4], freq01_ghz=[4.1], rotfreq_ghz=[0.0],  # lab-frame-ish:
+        selfkerr_ghz=[0.25], crosskerr_ghz=[], jkl_ghz=[])  # stiff diagonal
+    oscs = (OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=4, tstart=0.0,
+                                 tstop=T),),
+        carrier_freqs=(0.0,)),)
+    base = Setup(
+        model=model, nessential=(3,), ntime=ntime, dt=T / ntime,
+        linsolve_iters=10,
+        oscillators=oscs, ground_freqs_radns=(4.1 * 2 * np.pi,),
+        initcond_type="basis", target_type="pure",
+        pure_target_levels=(1,), objective_type="Jfrobenius",
+        gamma_tik=1e-4, gamma_penalty=0.1,
+        dtype=jnp.complex64, time_parallel=False)
+
+    probe = Problem(dataclasses.replace(base, pallas=False))
+    assert probe.linsolver == "jacobi", \
+        "config not stiff enough to exercise the jacobi gate"
+
+    rng = np.random.default_rng(2)
+    params = jnp.asarray(rng.normal(size=base.nparams) * 0.02,
+                         dtype=jnp.float64)
+    ref = jnp.zeros_like(params)
+
+    outs = {}
+    for flag in (False, True):
+        prob = Problem(dataclasses.replace(base, pallas=flag))
+        assert prob.use_pallas == flag
+        (J, aux), g = jax.value_and_grad(prob.objective, has_aux=True)(
+            params, ref)
+        outs[flag] = (float(J), np.asarray(g))
+
+    J0, g0 = outs[False]
+    J1, g1 = outs[True]
+    assert abs(J1 - J0) < 5e-6 * max(1.0, abs(J0))
+    assert np.abs(g1 - g0).max() < 5e-5 * max(np.abs(g0).max(), 1e-12)
