@@ -49,14 +49,25 @@ if _HAVE_PLTPU:  # pragma: no branch
     from jax.experimental.pallas import tpu as pltpu
 
 
+# In-kernel matmul precision. TPU matmuls on f32 operands default to ONE
+# bf16 MXU pass (~8-bit mantissa, ~4e-3 relative error per product) — over
+# a 1000+-step sequential integrator that accumulates to %-level state
+# error, far above the 1e-4-infidelity reporting scale. 'highest' = full
+# f32 multi-pass emulation (6 passes); 'high' = 3-pass (~1e-6 relative per
+# product, ~3e-5 over 1221 steps — still below reporting scale at half the
+# MXU work). Overridable for A/B measurement via QTPU_PALLAS_PRECISION.
+import os as _os
+
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("QTPU_PALLAS_PRECISION", "highest")]
+
+
 def _dot(a, b):
-    # precision=HIGHEST: TPU matmuls on f32 operands default to ONE bf16
-    # pass (~8-bit mantissa, ~4e-3 relative error per product) — fatal for
-    # a 1000+-step sequential integrator (the state explodes). HIGHEST
-    # requests full-f32 multi-pass emulation; these (8,128)x(128,128)
-    # matmuls are latency-bound, so the extra MXU passes are ~free.
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_PRECISION)
 
 
 def _jacobi_planes(gen_diag, dt: float, N: int, P: int):

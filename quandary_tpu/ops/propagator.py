@@ -38,13 +38,21 @@ from .steppers import stage_gammas
 
 
 def build_step_matrices_dense(stack, C, dt: float, timestepper: str,
-                              linsolve_iters: int, lindblad_superop=None):
+                              linsolve_iters: int, lindblad_superop=None,
+                              gen_diag=None, linsolver: str = "neumann"):
     """All per-step IMR operators S (ntime, N, N) from coefficient rows
     C (ntime, nstages, K).
 
     stack: (K, N, N) complex operator stack (Schroedinger: Hermitian terms;
     generator M = -i H). For the Lindblad path pass `lindblad_superop`, a
     function building the (T, N^2, N^2) superoperator generators instead.
+
+    linsolver='jacobi' (requires gen_diag, the (N,)- or (N*N,)-flattened
+    elementwise generator diagonal) runs the matrix form of
+    steppers.jacobi_neumann_solve: K <- (I-aD)^{-1}(M + a(M K - D K)) with
+    (I-aD)^{-1} and D K as row scalings — same stiffness-robust contraction
+    as the sequential path, so the time-parallel product stays accurate on
+    Kerr-stiff steps where the plain matrix Neumann series is not.
     """
     gammas = stage_gammas(timestepper)
     ntime, nstages, K = C.shape
@@ -58,6 +66,9 @@ def build_step_matrices_dense(stack, C, dt: float, timestepper: str,
         M = lindblad_superop(Cf)                                   # (T*S, N2, N2)
     N = M.shape[-1]
     eye = jnp.eye(N, dtype=M.dtype)
+    use_jacobi = linsolver == "jacobi" and gen_diag is not None
+    if use_jacobi:
+        d = jnp.asarray(gen_diag).reshape(-1).astype(M.dtype)  # (N,)
 
     S_total = None
     Ms = M.reshape(ntime, nstages, N, N)
@@ -69,10 +80,20 @@ def build_step_matrices_dense(stack, C, dt: float, timestepper: str,
         if explicit:
             Si = eye + h * Mi
         else:
-            Kmat = Mi
             half = h / 2.0
-            def body(_, Km):
-                return Mi + half * jnp.einsum("tij,tjk->tik", Mi, Km)
+            if use_jacobi:
+                dcol = d[None, :, None]                  # rows of (t, N, N)
+                minv = 1.0 / (1.0 - half * dcol)
+                Kmat = minv * Mi
+
+                def body(_, Km, Mi=Mi, minv=minv, dcol=dcol, half=half):
+                    MK = jnp.einsum("tij,tjk->tik", Mi, Km)
+                    return minv * (Mi + half * (MK - dcol * Km))
+            else:
+                Kmat = Mi
+
+                def body(_, Km, Mi=Mi, half=half):
+                    return Mi + half * jnp.einsum("tij,tjk->tik", Mi, Km)
             Kmat = jax.lax.fori_loop(0, linsolve_iters, body, Kmat)
             Si = eye + h * Kmat
         S_total = Si if S_total is None else jnp.einsum("tij,tjk->tik", Si, S_total)

@@ -288,25 +288,42 @@ class Problem:
         else:
             self.measure_weights = None
 
-        # --- linear-solver stiffness guard: the Neumann stage solve only
-        # converges for dt/2 * ||M|| < 1; estimate the dominant (diagonal)
-        # scale and fall back to GMRES beyond it (the reference always uses
-        # GMRES and warns when its residual exceeds 1e-3,
-        # timestepper.cpp:612-614). ---
+        # --- linear-solver stiffness guard. The plain Neumann stage solve
+        # converges for u = dt/2 * ||M|| < 1, but what matters over a long
+        # horizon is its truncation ERROR, ~u^(iters+1) per step: at u = 0.7
+        # and 8 iters that is ~4e-2 per step, which compounds to e^50 over
+        # ~1200 steps — the trajectory's stiffest (guard-corner Kerr) mode
+        # explodes while the essential-subspace fidelity still looks sane.
+        # So switch to the Jacobi-preconditioned iteration (exact elementwise
+        # inverse of the stiff DIAGONAL; the remaining contraction is the
+        # tiny off-diagonal coupling) as soon as u is large enough that the
+        # truncated plain series is no longer accurate, not merely when it
+        # stops converging. The reference side-steps this class of issue by
+        # always running GMRES and warning at residual > 1e-3
+        # (timestepper.cpp:612-614). ---
         self.linsolver = s.linsolver
         self.gen_diag = getattr(self.engine, "gen_diag", lambda: None)()
         lam = self._diag_scale_estimate()
-        if self.linsolver == "neumann" and 0.5 * dt * lam > 0.9:
+        u_stiff = 0.5 * dt * lam
+        # u^(iters+1) <= 1e-6/step keeps 10^4-step horizons below 1e-2 total
+        u_ok = float(np.exp(np.log(1e-6) / (s.linsolve_iters + 1)))
+        if self.linsolver == "neumann" and u_stiff > u_ok:
             if self.gen_diag is not None:
-                # Jacobi-preconditioned Neumann: exact elementwise inverse of
-                # the stiff diagonal, tiny off-diagonal contraction.
                 self.linsolver = "jacobi"
+            elif u_stiff > 0.9:
+                import warnings
+                warnings.warn(
+                    f"Stiff step: dt/2*|H_diag|max = {u_stiff:.2f} > 0.9; "
+                    "switching the IMR stage solve to GMRES.")
+                self.linsolver = "gmres"
             else:
                 import warnings
                 warnings.warn(
-                    f"Stiff step: dt/2*|H_diag|max = {0.5 * dt * lam:.2f} > 0.9; "
-                    "switching the IMR stage solve to GMRES.")
-                self.linsolver = "gmres"
+                    f"Stiff step: dt/2*|H_diag|max = {u_stiff:.2f} leaves "
+                    f"~{u_stiff ** (s.linsolve_iters + 1):.1e} relative "
+                    "truncation error per Neumann stage solve; consider more "
+                    "linsolve_iters (no generator diagonal available for the "
+                    "Jacobi-preconditioned solve).")
         # For the Lindblad matrix form the diag mask is (N, N); the flat
         # interface of Dense/Tensor engines takes x as (B, N, N) there.
         self.step_fn = make_step_fn(self.engine.rhs, dt, s.timestepper,
@@ -338,7 +355,7 @@ class Problem:
         # --- time-parallel feasibility (ops/propagator.py) ---
         dim_prop = self.N * self.N if self.lindblad else self.N
         feasible = (isinstance(self.engine, DenseEngine)
-                    and self.linsolver == "neumann"
+                    and self.linsolver in ("neumann", "jacobi")
                     and s.ntime * dim_prop * dim_prop <= s.time_parallel_budget)
         if s.time_parallel == "auto":
             # Building propagators costs O(dim^2) per step vs O(dim*B) for
@@ -565,9 +582,15 @@ class Problem:
         s = self.setup
         C = self.coeff_rows_mid(params)
         stack = jnp.asarray(self.engine.stack)
+        gd = self.gen_diag
+        if gd is not None and self.lindblad:
+            # superop uses COLUMN-major vec(rho); the engine diag is in
+            # (N, N) matrix layout
+            gd = jnp.asarray(gd).T.reshape(-1)
         S = build_step_matrices_dense(stack, C, s.dt, s.timestepper,
                                       s.linsolve_iters,
-                                      lindblad_superop=self._superop_builder)
+                                      lindblad_superop=self._superop_builder,
+                                      gen_diag=gd, linsolver=self.linsolver)
         P = prefix_propagators(S)
         if self.lindblad:
             x0v = jnp.asarray(self.x0).transpose(0, 2, 1).reshape(self.ninit, -1)

@@ -11,6 +11,10 @@ All big operands are materialized on device (GroupedEngine.device_builders
 via Problem._wrap_with_data); host<->device traffic is KB-scale.
 
 Usage:  python scripts/perf/large_n_bench.py
+
+Set QTPU_MATMUL_PRECISION=default|high|highest to A/B the f32 GEMM
+precision (TPU: 1 / 3 / 6 bf16 MXU passes) against the package default
+(highest); the printed norm drift is the accuracy side of that tradeoff.
 """
 
 import dataclasses
@@ -21,6 +25,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
+
+_prec = os.environ.get("QTPU_MATMUL_PRECISION")
+if _prec:  # must precede the quandary_tpu import (which sets the default)
+    jax.config.update("jax_default_matmul_precision", _prec)
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,7 +46,8 @@ def main():
     prob = Problem(setup)
     eng = prob.engine
     print(f"N = {eng.N}  groups {eng.m1} x {eng.m2}  device "
-          f"{jax.devices()[0].platform}")
+          f"{jax.devices()[0].platform}  matmul_precision "
+          f"{jax.config.jax_default_matmul_precision}")
 
     # 1) forward sweep, all-real step in a scan
     step = make_real_imr_step(eng, setup.dt, setup.linsolve_iters)

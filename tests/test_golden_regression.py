@@ -205,9 +205,20 @@ def _check_iter0_row(datadir, name, rtol=1e-6):
     for col in (1, 4, 5, 6, 7, 8, 9, 10):
         np.testing.assert_allclose(ours0[col], gold0[col], rtol=rtol,
                                    atol=1e-12, err_msg=f"{name} col {col}")
-    # column 2 (gradient norm) is intentionally NOT compared exactly: TAO
-    # reports its internal bounded-solver measure, ours is the projected
-    # gradient norm; they agree to a few percent but not to tolerance.
+    # Column 2 (gradient norm) is intentionally loose. Investigated in
+    # depth (round 2): TAO's history gnorm IS the plain 2-norm of the
+    # reference's gradient (verified == ||grad.dat||_2 to machine precision
+    # on AxC_grad_schroedinger / AxC_grad_initBasis0 / xgate_sparsemat);
+    # our gradient is FD-exact (central differences, rel err ~1e-9) against
+    # an objective that matches the reference's value columns at rtol 1e-6
+    # over the full horizon; and where the reference commits a grad.dat we
+    # match it at 1e-6. Yet the OPTIMIZATION cases' iteration-0 history
+    # gnorm differs from our (exact) norm by 0.3% (state-to-state) to 4%
+    # (xgate) with x0 strictly interior (no projection involved) — i.e.
+    # those golden rows carry the reference's own adjoint/history
+    # inaccuracy, not a definitional difference. For cnot (x0 fully
+    # bound-clipped) the remaining gap is TAO's banded active-set estimate
+    # vs the exact at-bound projection.
     np.testing.assert_allclose(ours0[2], gold0[2], rtol=0.2, atol=1e-8,
                                err_msg=f"{name} gnorm (loose)")
 
