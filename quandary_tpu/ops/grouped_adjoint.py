@@ -48,7 +48,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .grouped_rhs import GroupedEngine, make_M_apply, make_jacobi_solver
+from .grouped_rhs import (GroupedEngine, device_rotation_planes,
+                          make_M_apply, make_V_apply, make_jacobi_solver,
+                          make_v_neumann_solver)
 
 
 def _dC_contractions(engine: GroupedEngine, wr, wi, xr, xi, dt, c):
@@ -115,31 +117,59 @@ def _dC_contractions(engine: GroupedEngine, wr, wi, xr, xi, dt, c):
 
 def make_grouped_adjoint_propagate(engine: GroupedEngine, dt: float,
                                    iters: int,
-                                   penalty_fn: Optional[Callable] = None):
+                                   penalty_fn: Optional[Callable] = None,
+                                   split: bool = False):
     """propagate(x0_planes, C, extras) -> ((xTr, xTi), pen_sum) with the
     solve-based VJP above. Same contract as make_reversible_propagate
     restricted to the grouped real-plane step: x0_planes = (Xr, Xi) of
-    shape (B, m1, m2), C of shape (ntime, nstages=1, K)."""
+    shape (B, m1, m2), C of shape (ntime, nstages=1, K).
+
+    split=True uses the diagonally-split step (grouped_rhs.
+    make_real_split_step): y = E (x2 + dt P_a(V)(V x2)), x2 = E x, with E
+    the exact elementwise diagonal propagator and V the off-diagonal
+    remainder. The adjoint identities carry over verbatim — E^T = E^{-1}
+    (rotation), P_a(V)^T = P_{-a}(V) exactly (plain polynomial in a
+    skew-symmetric real-plane operator) — so the state cotangent is the
+    EXACT transpose of the computed map and the control cotangent uses the
+    same midpoint contraction in the rotated frame."""
     a = float(dt) / 2.0
-    step_solve = make_jacobi_solver(engine, a, iters)
-    adj_solve = make_jacobi_solver(engine, -a, iters)
-    M_apply = make_M_apply(engine)
+    if split:
+        step_solve = make_v_neumann_solver(engine, a, iters)
+        adj_solve = make_v_neumann_solver(engine, -a, iters)
+        op_apply = make_V_apply(engine)      # V = M - D
+    else:
+        step_solve = make_jacobi_solver(engine, a, iters)
+        adj_solve = make_jacobi_solver(engine, -a, iters)
+        op_apply = make_M_apply(engine)
+    M_apply = op_apply
 
     def _pen(x, extra):
         if penalty_fn is None:
             return ()
         return penalty_fn(x, extra)
 
-    def step_fwd(xr, xi, c):
+    def _rot(planes, sign, vr, vi):
+        er, ei = planes
+        R, I = er[None], sign * ei[None]
+        return R * vr - I * vi, R * vi + I * vr
+
+    def step_fwd(xr, xi, c, planes=None):
+        if split:
+            xr, xi = _rot(planes, 1.0, xr, xi)
         br, bi = M_apply(xr, xi, c)
         kr, ki = step_solve(br, bi, c)
-        return xr + dt * kr, xi + dt * ki
+        yr, yi = xr + dt * kr, xi + dt * ki
+        if split:
+            yr, yi = _rot(planes, 1.0, yr, yi)
+        return yr, yi
 
     @jax.custom_vjp
     def propagate(x0p, C, extras):
+        planes = device_rotation_planes(engine, a) if split else None
+
         def body(x, inp):
             c, extra = inp
-            xr, xi = step_fwd(x[0], x[1], c[0])
+            xr, xi = step_fwd(x[0], x[1], c[0], planes)
             return (xr, xi), _pen((xr, xi), extra)
 
         xT, pens = jax.lax.scan(body, x0p, (C, extras))
@@ -153,6 +183,7 @@ def make_grouped_adjoint_propagate(engine: GroupedEngine, dt: float,
     def bwd(res, cots):
         xT, C, extras = res
         (yTr_bar, yTi_bar), pen_bar = cots
+        planes = device_rotation_planes(engine, a) if split else None
 
         def body(carry, inp):
             (yr, yi, br_, bi_) = carry
@@ -164,25 +195,36 @@ def make_grouped_adjoint_propagate(engine: GroupedEngine, dt: float,
                 ((pr, pi),) = pvjp(pen_bar)
                 br_, bi_ = br_ + pr, bi_ + pi
 
-            # batched double solve at -a: rows [M y ; ybar]
+            if split:
+                # undo the trailing rotation: state AND cotangent move to
+                # the rotated frame (E^T = E^{-1} = rotation by -angle)
+                yr, yi = _rot(planes, -1.0, yr, yi)
+                br_, bi_ = _rot(planes, -1.0, br_, bi_)
+
+            # batched double solve at -a: rows [Op y ; ybar]
             myr, myi = M_apply(yr, yi, c)
             B = yr.shape[0]
             sr, si = adj_solve(jnp.concatenate([myr, br_]),
                                jnp.concatenate([myi, bi_]), c)
-            kr, ki = sr[:B], si[:B]          # P_{-a}(M y): reconstruction
+            kr, ki = sr[:B], si[:B]          # P_{-a}(Op y): reconstruction
             wr, wi = sr[B:], si[B:]          # P_{-a}(ybar): adjoint solve
 
             x_prev_r = yr - dt * kr
             x_prev_i = yi - dt * ki
-            # exact transpose of the computed step: xbar = ybar - dt M w
+            # exact transpose of the computed map: xbar = ybar - dt Op w
             mwr, mwi = M_apply(wr, wi, c)
             xbar_r = br_ - dt * mwr
             xbar_i = bi_ - dt * mwi
-            # IMR midpoint state (x + y)/2 = y - a k
+            # inner-step midpoint state (x + y)/2 = y - a k (rotated frame
+            # when split; dV/dc = dM/dc on every control slot either way)
             xm_r = yr - a * kr
             xm_i = yi - a * ki
 
             dc = _dC_contractions(engine, wr, wi, xm_r, xm_i, dt, c)
+            if split:
+                # undo the leading rotation
+                x_prev_r, x_prev_i = _rot(planes, -1.0, x_prev_r, x_prev_i)
+                xbar_r, xbar_i = _rot(planes, -1.0, xbar_r, xbar_i)
             return (x_prev_r, x_prev_i, xbar_r, xbar_i), dc[None, :]
 
         (x0r, x0i, x0br, x0bi), C_bar = jax.lax.scan(

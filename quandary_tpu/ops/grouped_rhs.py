@@ -212,9 +212,11 @@ class GroupedEngine:
         # -i (Hx_r + i Hx_i) = Hx_i - i Hx_r
         return jax.lax.complex(Hx_i, -Hx_r).astype(self.dtype).reshape(x.shape)
 
-    def apply_H_planes(self, c, Xr, Xi):
+    def apply_H_planes(self, c, Xr, Xi, include_cross_diag: bool = True):
         """H x in explicit re/im planes: Xr, Xi (B, m1, m2) real ->
-        (Hx_r, Hx_i). The fully-real compute core."""
+        (Hx_r, Hx_i). The fully-real compute core. include_cross_diag=False
+        skips the cross-group cross-Kerr diagonal mask (used by the split
+        stepper, which removes the FULL drift diagonal: slot 0 + this mask)."""
         rdt = Xr.dtype
         cr = c.astype(rdt)
 
@@ -234,7 +236,7 @@ class GroupedEngine:
         Yr = lm(HLr, Xr) - lm(HLi, Xi) + rm(Xr, HRr.T) - rm(Xi, HRi.T)
         Yi = lm(HLr, Xi) + lm(HLi, Xr) + rm(Xi, HRr.T) + rm(Xr, HRi.T)
 
-        if self.cross_diag is not None:
+        if self.cross_diag is not None and include_cross_diag:
             D = jnp.asarray(self.cross_diag).astype(rdt)[None, :, :]
             Yr = Yr + Xr * D
             Yi = Yi + Xi * D
@@ -375,6 +377,105 @@ def make_jacobi_solver(engine: "GroupedEngine", g: float, iters: int):
         return kr, ki
 
     return solve
+
+
+def device_rotation_planes(engine: "GroupedEngine", s: float):
+    """Real (m1, m2) planes (er, ei) of the exact diagonal propagator
+    E = exp(s * D) = exp(-i s h), with h the full drift diagonal, ASSEMBLED
+    ON DEVICE from the model's scalar constants (per-axis level vectors +
+    broadcasting) — KB of embedded constants instead of an (m1, m2) jit
+    constant that the remote-compile relay would reject at 32^4 sizes.
+
+    |er + i ei| = 1 to one ulp, so applying E preserves the state norm to
+    elementwise rounding — unlike integrating the stiff diagonal through
+    the IMR stage solve, where the f32 phase rounding compounds over the
+    horizon (PERF.md 'f32 norm drift'). Call at trace time OUTSIDE the
+    scan so the planes are loop-invariant scan constants."""
+    m = engine.model
+    rdt = jnp.float32 if engine.dtype == jnp.complex64 else jnp.float64
+    dims = m.dims
+    Q = len(dims)
+    h = jnp.zeros((1,) * Q, rdt)
+    grids = []
+    for k, d in enumerate(dims):
+        shape = (1,) * k + (d,) + (1,) * (Q - k - 1)
+        grids.append(jnp.arange(d, dtype=rdt).reshape(shape))
+    for k in range(Q):
+        nk = grids[k]
+        h = h + float(m.detune[k]) * nk \
+            - float(m.selfkerr[k]) / 2.0 * nk * (nk - 1.0)
+    for idx, (k, l) in enumerate(coupling_pairs(Q)):
+        if idx < len(m.crosskerr) and abs(m.crosskerr[idx]) > 1e-14:
+            h = h - float(m.crosskerr[idx]) * grids[k] * grids[l]
+    ang = float(s) * jnp.broadcast_to(h, tuple(dims)).reshape(
+        engine.m1, engine.m2)
+    return jnp.cos(ang), -jnp.sin(ang)
+
+
+def make_V_apply(engine: "GroupedEngine"):
+    """(vr, vi, c) -> planes of V v with V = M - D the OFF-DIAGONAL part of
+    the generator (M = -iH, D = -i h). The drift diagonal h lives entirely
+    in coefficient slot 0 (detuning/self-Kerr/within-group cross-Kerr are
+    diagonal group operators) plus the cross-group cross-Kerr mask, so V is
+    the stack contraction with slot 0 zeroed and the mask skipped — no big
+    diagonal array needed. ||V|| is the control/coupling scale, so a plain
+    Neumann iteration in V contracts fast regardless of the diagonal
+    stiffness."""
+
+    def V_apply(vr, vi, c):
+        c0 = c.at[0].set(0.0)
+        hr, hi = engine.apply_H_planes(c0, vr, vi, include_cross_diag=False)
+        return hi, -hr      # -i * (H_offdiag v)
+
+    return V_apply
+
+
+def make_v_neumann_solver(engine: "GroupedEngine", g: float, iters: int):
+    """Truncated plain-Neumann solve of (I - g V) k = b in real planes,
+    V = off-diagonal generator part (make_V_apply). Used by the split
+    stepper, where the stiff diagonal has been removed analytically.
+    P_g(V)^T = P_{-g}(V) (V^T = -V in the real-plane inner product), the
+    identity the split adjoint in grouped_adjoint.py relies on."""
+    V_apply = make_V_apply(engine)
+
+    def solve(br, bi, c):
+        kr, ki = br, bi
+        for _ in range(iters):
+            vr, vi = V_apply(kr, ki, c)
+            kr = br + g * vr
+            ki = bi + g * vi
+        return kr, ki
+
+    return solve
+
+
+def make_real_split_step(engine: "GroupedEngine", dt: float, iters: int,
+                         planes=None):
+    """Diagonally-split IMR step in real planes (see steppers.make_step_fn
+    linsolver='split'): x -> E_{dt/2} . IMR_V(dt) . E_{dt/2} x with the
+    stiff drift diagonal integrated exactly by the elementwise rotation E
+    and only the small off-diagonal remainder V solved by plain Neumann.
+    Second order (Strang), time-symmetric (inverse = same scheme at -dt),
+    and norm-preserving to elementwise f32 rounding.
+
+    planes: optional precomputed device_rotation_planes(engine, dt/2) —
+    pass them when the step runs inside a scan so the cos/sin assembly is a
+    loop-invariant constant instead of per-step work."""
+    a = float(dt) / 2.0
+    solve = make_v_neumann_solver(engine, a, iters)
+    V_apply = make_V_apply(engine)
+
+    def step(Xr, Xi, c):
+        er, ei = planes if planes is not None \
+            else device_rotation_planes(engine, a)
+        R, I = er[None], ei[None]
+        xr, xi = R * Xr - I * Xi, R * Xi + I * Xr
+        br, bi = V_apply(xr, xi, c)
+        kr, ki = solve(br, bi, c)
+        yr, yi = xr + dt * kr, xi + dt * ki
+        return R * yr - I * yi, R * yi + I * yr
+
+    return step
 
 
 def make_real_imr_step(engine: "GroupedEngine", dt: float, iters: int):

@@ -51,23 +51,37 @@ if _HAVE_PLTPU:  # pragma: no branch
 
 # In-kernel matmul precision. TPU matmuls on f32 operands default to ONE
 # bf16 MXU pass (~8-bit mantissa, ~4e-3 relative error per product) — over
-# a 1000+-step sequential integrator that accumulates to %-level state
-# error, far above the 1e-4-infidelity reporting scale. 'highest' = full
-# f32 multi-pass emulation (6 passes); 'high' = 3-pass (~1e-6 relative per
-# product, ~3e-5 over 1221 steps — still below reporting scale at half the
-# MXU work). Overridable for A/B measurement via QTPU_PALLAS_PRECISION.
+# a 1000+-step sequential integrator that accumulates to ~3% gradient error
+# (measured: scripts/perf/pallas_precision_check.py), too noisy even for
+# quasi-Newton optimization. 'highest' = full f32 emulation (6 passes,
+# gradient error ~2e-6). 'high' = 3-pass bf16 hi/lo split (~1.5e-5 relative
+# per product) at HALF the MXU work — Mosaic rejects lax.Precision.HIGH
+# inside kernels, so it is emulated explicitly below. Default 'high';
+# override via QTPU_PALLAS_PRECISION for A/B or full-f32 validation runs.
 import os as _os
 
-_PRECISION = {
-    "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
-    "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("QTPU_PALLAS_PRECISION", "highest")]
+_PRECISION_MODE = _os.environ.get("QTPU_PALLAS_PRECISION", "high")
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=_PRECISION)
+    if _PRECISION_MODE == "high":
+        # 3-pass bf16 emulation of an f32 matmul: a = ah + al with ah, al
+        # bf16 (16 mantissa bits total), drop the al@bl term (~2^-16 rel.)
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):    # explicit DEFAULT: the package sets the global
+            # default matmul precision to 'highest', which Mosaic rejects
+            # on bf16 operands ("Bad lhs type")
+            return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[_PRECISION_MODE]
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
 def _jacobi_planes(gen_diag, dt: float, N: int, P: int):

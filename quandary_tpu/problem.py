@@ -308,7 +308,17 @@ class Problem:
         # u^(iters+1) <= 1e-6/step keeps 10^4-step horizons below 1e-2 total
         u_ok = float(np.exp(np.log(1e-6) / (s.linsolve_iters + 1)))
         if self.linsolver == "neumann" and u_stiff > u_ok:
-            if self.gen_diag is not None:
+            from .ops.grouped_rhs import GroupedEngine as _GE_guard
+            if isinstance(self.engine, _GE_guard):
+                # Grouped large-N engine: the diagonally-split stepper
+                # integrates the stiff drift diagonal EXACTLY (elementwise
+                # rotation) and solves only the small off-diagonal remainder
+                # — more accurate than IMR on the stiff modes AND ~3x fewer
+                # solve iterations than the Jacobi-preconditioned path. Not
+                # auto-selected for dense/tensor engines, whose goldens pin
+                # plain-IMR discretization parity with the reference.
+                self.linsolver = "split"
+            elif self.gen_diag is not None:
                 self.linsolver = "jacobi"
             elif u_stiff > 0.9:
                 import warnings
@@ -706,7 +716,10 @@ class Problem:
             from .ops.grouped_rhs import GroupedEngine as _GE
             real_grouped = (isinstance(self.engine, _GE)
                             and s.timestepper.upper() == "IMR"
-                            and self.gen_diag is not None)
+                            and self.gen_diag is not None
+                            and self.linsolver in ("neumann", "jacobi",
+                                                   "split"))
+            use_split = self.linsolver == "split"
             if real_grouped:
                 # All-REAL grouped reversible adjoint: the state is carried
                 # as f32/f64 (re, im) planes and every product in both the
@@ -726,9 +739,12 @@ class Problem:
                 if s.adjoint == "reversible-ad":
                     # generic reversible adjoint (AD through the unrolled
                     # stage solve) — kept as a cross-check path
-                    from .ops.grouped_rhs import make_real_imr_step
-                    rstep_f = make_real_imr_step(eng, s.dt, s.linsolve_iters)
-                    rstep_b = make_real_imr_step(eng, -s.dt, s.linsolve_iters)
+                    from .ops.grouped_rhs import (make_real_imr_step,
+                                                  make_real_split_step)
+                    mk = make_real_split_step if use_split \
+                        else make_real_imr_step
+                    rstep_f = mk(eng, s.dt, s.linsolve_iters)
+                    rstep_b = mk(eng, -s.dt, s.linsolve_iters)
                     prop = make_reversible_propagate(
                         lambda x, c: tuple(rstep_f(x[0], x[1], c[0])),
                         lambda x, c: tuple(rstep_b(x[0], x[1], c[0])),
@@ -739,7 +755,8 @@ class Problem:
                     # reference's evolveBWD economics, timestepper.cpp:631-694)
                     from .ops.grouped_adjoint import make_grouped_adjoint_propagate
                     prop = make_grouped_adjoint_propagate(
-                        eng, s.dt, s.linsolve_iters, pen_planes)
+                        eng, s.dt, s.linsolve_iters, pen_planes,
+                        split=use_split)
                 x0c = jnp.asarray(self.x0, dtype=s.dtype).reshape(
                     B, eng.m1, eng.m2)
                 x0p = (self._shard_state(jnp.real(x0c).astype(rdt)),

@@ -12,9 +12,18 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from quandary_tpu.ops import pallas_stream
 from quandary_tpu.ops.pallas_adjoint import make_pallas_propagate, plane_args
 from quandary_tpu.ops.pallas_stream import make_stream_propagate
 from quandary_tpu.ops.steppers import jacobi_neumann_solve
+
+
+@pytest.fixture(autouse=True)
+def _exact_f32_kernels(monkeypatch):
+    """Structural-parity tests pin the kernels at exact-f32 matmuls; the
+    shipping default is the 3-pass bf16 emulation ('high'), whose error
+    bound is characterized separately in test_high_precision_error_bound."""
+    monkeypatch.setattr(pallas_stream, "_PRECISION_MODE", "highest")
 
 
 def _random_hermitian_stack(rng, K, N, stiff=0.0):
@@ -137,6 +146,40 @@ def test_stream_vmap_over_candidates():
     v0, g0 = jax.value_and_grad(loss)(Cs[2])
     assert abs(float(v[2]) - float(v0)) < 1e-5
     assert np.abs(np.asarray(g[2] - g0)).max() < 1e-5
+
+
+def test_high_precision_error_bound(monkeypatch):
+    """The default in-kernel precision ('high', 3-pass bf16 hi/lo split)
+    stays within ~1e-4 relative of the exact-f32 kernels on value and
+    gradient over a multi-step propagation — accurate enough for
+    optimization (measured 2.7e-5 gradient error on the 1221-step CNOT
+    flagship, scripts/perf/pallas_precision_check.py)."""
+    rng = np.random.default_rng(5)
+    K, N, B, ntime, dt, iters = 4, 12, 3, 25, 0.02, 8
+    stack = _random_hermitian_stack(rng, K, N)
+    C = jnp.asarray(rng.normal(size=(ntime, K)) * 0.7)
+    x0 = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
+          ).astype(np.complex64)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    loss = _loss_pair(rng, B, N, ntime)
+
+    outs = {}
+    for mode in ("highest", "high"):
+        monkeypatch.setattr(pallas_stream, "_PRECISION_MODE", mode)
+        prop = make_stream_propagate(stack, dt, iters, interpret=True)
+
+        def f(C_, x0_, prop=prop):
+            xT, hist = prop(Sr, Si, jnp.asarray(x0_), C_)
+            return loss(xT, hist)
+
+        v, g = jax.value_and_grad(f, argnums=(0, 1))(C, x0)
+        outs[mode] = (float(v), [np.asarray(a) for a in g])
+
+    v0, g0 = outs["highest"]
+    v1, g1 = outs["high"]
+    assert abs(v1 - v0) < 2e-4 * abs(v0)
+    for a, b in zip(g0, g1):
+        assert np.abs(a - b).max() < 5e-4 * max(np.abs(a).max(), 1e-12)
 
 
 def test_problem_stiff_jacobi_pallas_parity():
