@@ -31,7 +31,7 @@ import numpy as np
 REFERENCE_SWEEPS_PER_S = 22.0
 
 
-def build_problem(pallas="auto"):
+def build_problem(pallas="auto", linsolver=None, linsolve_iters=None):
     import jax.numpy as jnp
     from quandary_tpu.models import gates
     from quandary_tpu.models.hamiltonian import build_standard_model
@@ -62,7 +62,8 @@ def build_problem(pallas="auto"):
         initcond_type="basis", target_type="gate", target_gate_full=V,
         objective_type="Jtrace", gamma_tik=1e-4, gamma_penalty=0.1,
         gamma_penalty_energy=0.1, gamma_penalty_dpdm=0.01,
-        dtype=jnp.complex64, linsolve_iters=8, pallas=pallas,
+        dtype=jnp.complex64, linsolve_iters=linsolve_iters or 8,
+        linsolver=linsolver or "neumann", pallas=pallas,
     )
     return Problem(setup), setup
 
@@ -134,8 +135,12 @@ def main():
     # TPU attempts, sequential (concurrent TPU procs queue behind each
     # other on the relay). First attempt pays the compile (persisted to
     # CACHE_DIR even if the attempt later hangs); retries start compiled.
-    tpu_attempts = [("auto", 1500), ("auto", 900), ("auto", 900),
-                    ("false", 900)]
+    # "split" = diagonally-split stepper in-kernel (4 Neumann iterations
+    # on the off-diagonal remainder; 20x MORE accurate than plain IMR at
+    # this dt, scripts/perf/pallas_stream_bench.py) — the headline config.
+    # "auto" = Jacobi-IMR kernels (reference-exact discretization datum).
+    tpu_attempts = [("split", 1500), ("auto", 900), ("split", 900),
+                    ("auto", 900), ("false", 900)]
     for i, (pallas, tmo) in enumerate(tpu_attempts):
         wait(spawn(pallas, "tpu"), tmo)
         recs = records()
@@ -184,8 +189,13 @@ def _run_bench(device: str, pallas="auto", results_path=None):
                 f.write(line + "\n")
         print(line)
 
-    problem, setup = build_problem(pallas=pallas)
-    engine = "pallas-fused" if problem.use_pallas else "xla-scan"
+    if pallas == "split":
+        problem, setup = build_problem(pallas="auto", linsolver="split",
+                                       linsolve_iters=4)
+    else:
+        problem, setup = build_problem(pallas=pallas)
+    engine = ("pallas-fused-split" if pallas == "split" else "pallas-fused") \
+        if problem.use_pallas else "xla-scan"
     vg = problem.build_value_and_grad()
     params = jnp.asarray(np.random.default_rng(1234).uniform(
         -1, 1, setup.nparams) * 0.005, dtype=jnp.float32)

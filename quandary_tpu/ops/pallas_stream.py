@@ -95,10 +95,23 @@ def _jacobi_planes(gen_diag, dt: float, N: int, P: int):
             minv.imag.astype(np.float32)[None])
 
 
+def _split_planes(gen_diag, dt: float, N: int, P: int):
+    """f32 (1, P) planes of the exact half-step diagonal propagator
+    E = exp((dt/2) d), host-computed in f64 (unit modulus entry-by-entry for
+    skew generators). Padded entries get E = 1 (identity)."""
+    d = np.zeros((P,), np.complex128)
+    d[:N] = np.asarray(gen_diag, dtype=np.complex128).reshape(-1)
+    E = np.exp(0.5 * dt * d)
+    return (E.real.astype(np.float32)[None], E.imag.astype(np.float32)[None])
+
+
 def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
-              xr_ref, xi_ref, hr_ref, hi_ref, *, dt, iters, jac):
-    """One forward IMR step of the streamed grid (jac: None for plain
-    Neumann, or the (dr, di, mr, mi) plane tuple for the Jacobi solve)."""
+              xr_ref, xi_ref, hr_ref, hi_ref, *, dt, iters, jac, split):
+    """One forward step of the streamed grid. jac: None for plain Neumann,
+    or the (dr, di, mr, mi) plane tuple for the Jacobi solve. split: None,
+    or the (er, ei) rows of the exact half-step diagonal propagator — the
+    diagonally-split stepper (H planes carry the OFF-DIAGONAL remainder,
+    diag zeroed outside the kernel; see steppers.make_step_fn)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -117,6 +130,9 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
     a = dt / 2.0
     xr = xr_ref[:]
     xi = xi_ref[:]
+    if split is not None:
+        er, ei_ = split
+        xr, xi = er * xr - ei_ * xi, er * xi + ei_ * xr
     br, bi = matvec(xr, xi)
     if jac is None:
         kr, ki = br, bi
@@ -138,6 +154,8 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
             kr, ki = W(br + a * ur, bi + a * ui)
     xr = xr + dt * kr
     xi = xi + dt * ki
+    if split is not None:
+        xr, xi = er * xr - ei_ * xi, er * xi + ei_ * xr
     xr_ref[:] = xr
     xi_ref[:] = xi
     hr_ref[0] = xr
@@ -146,9 +164,12 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
 
 def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
               gTr_ref, gTi_ref, gr_ref, gi_ref, Hbr_ref, Hbi_ref,
-              *, dt, iters, jac):
+              *, dt, iters, jac, split):
     """Exact real-arithmetic transpose of one computed step (the grid runs
-    steps in REVERSE order via the index maps)."""
+    steps in REVERSE order via the index maps). For the split stepper the
+    rotation transposes to its inverse (E^T = E^{-1}): state cotangent AND
+    pre-step state move into the rotated frame, the plain-Neumann transpose
+    chain runs there, and the outgoing cotangent rotates back."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -162,6 +183,14 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
     xpi = xpi_ref[0]
     gr = gr_ref[:] + jr_ref[0]
     gi = gi_ref[:] + ji_ref[0]
+    if split is not None:
+        er, ei_ = split
+
+        def rot_m(vr, vi):      # rotation by the NEGATED angle (E^T)
+            return er * vr + ei_ * vi, er * vi - ei_ * vr
+
+        gr, gi = rot_m(gr, gi)
+        xpr, xpi = er * xpr - ei_ * xpi, er * xpi + ei_ * xpr
     a = dt / 2.0
 
     def T(vr, vi):
@@ -246,8 +275,11 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
     # b = T(x_pre): route b-bar into the pre-state and the H planes
     Hbr, Hbi = acc_H(Hbr, Hbi, bbr, bbi, xpr, xpi)
     tr, ti = Tt(bbr, bbi)
-    gr_ref[:] = gr + tr
-    gi_ref[:] = gi + ti
+    outr, outi = gr + tr, gi + ti
+    if split is not None:
+        outr, outi = rot_m(outr, outi)   # leading rotation's transpose
+    gr_ref[:] = outr
+    gi_ref[:] = outi
     Hbr_ref[0] = Hbr
     Hbi_ref[0] = Hbi
 
@@ -269,23 +301,36 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
     P = _round_up(N, 128)
     dt = float(dt)
     iters = int(iters)
+    jac_np = split_np = diag_sub = None
     if linsolver == "jacobi":
         if gen_diag is None:
             raise ValueError("jacobi streamed solve requires gen_diag")
         jac_np = _jacobi_planes(gen_diag, dt, N, P)
-    elif linsolver == "neumann":
-        jac_np = None
-    else:
-        raise ValueError(f"streamed pallas supports neumann/jacobi, "
+    elif linsolver == "split":
+        if gen_diag is None:
+            raise ValueError("split streamed stepper requires gen_diag")
+        split_np = _split_planes(gen_diag, dt, N, P)
+        # the kernel's H planes carry the OFF-DIAGONAL remainder: subtract
+        # the (time-independent) generator diagonal outside the kernel.
+        # gen_diag = -i h with h the H diagonal -> H planes lose diag(h).
+        d = np.zeros((P,), np.complex128)
+        d[:N] = np.asarray(gen_diag, dtype=np.complex128).reshape(-1)
+        h = 1j * d      # H_diag = i * gen_diag
+        diag_sub = (np.diag(h.real).astype(np.float32),
+                    np.diag(h.imag).astype(np.float32))
+    elif linsolver != "neumann":
+        raise ValueError(f"streamed pallas supports neumann/jacobi/split, "
                          f"got {linsolver!r}")
+    n_rows = 4 if jac_np is not None else (2 if split_np is not None else 0)
 
     vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
     cparams = {} if not _HAVE_PLTPU else {
         "compiler_params": pltpu.CompilerParams(
             dimension_semantics=("arbitrary",))}
 
-    def _jac_args():
-        return tuple(jnp.asarray(p) for p in jac_np)
+    def _row_args():
+        rows = jac_np if jac_np is not None else split_np
+        return tuple(jnp.asarray(p) for p in rows) if rows else ()
 
     def _pack(x0):
         B = x0.shape[0]
@@ -301,25 +346,35 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
 
     def _h_planes(C, Sr, Si):
         Cf = C.astype(jnp.float32)
-        return (jnp.tensordot(Cf, Sr, axes=1),
-                jnp.tensordot(Cf, Si, axes=1))
+        Hr = jnp.tensordot(Cf, Sr, axes=1)
+        Hi = jnp.tensordot(Cf, Si, axes=1)
+        if diag_sub is not None:
+            Hr = Hr - jnp.asarray(diag_sub[0])[None]
+            Hi = Hi - jnp.asarray(diag_sub[1])[None]
+        return Hr, Hi
+
+    def _split_rows(refs):
+        """(body refs tail) -> (jac, split) tuples per the solver mode."""
+        if jac_np is not None:
+            dr, di_, mr_, mi_ = refs
+            return (dr[:], di_[:], mr_[:], mi_[:]), None
+        if split_np is not None:
+            er, ei_ = refs
+            return None, (er[:], ei_[:])
+        return None, None
 
     def _fwd_call(nsteps, Bp):
         plane = pl.BlockSpec((1, P, P), lambda i: (i, 0, 0), **vmem)
         full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
         row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
-        in_specs = [plane, plane, full, full]
-        if jac_np is not None:
-            in_specs += [row] * 4
+        in_specs = [plane, plane, full, full] + [row] * n_rows
 
         def body(*refs):
-            if jac_np is None:
-                (Hr, Hi, x0r, x0i, xr, xi, hr, hi), jac = refs, None
-            else:
-                Hr, Hi, x0r, x0i, dr, di_, mr_, mi_, xr, xi, hr, hi = refs
-                jac = (dr[:], di_[:], mr_[:], mi_[:])
+            Hr, Hi, x0r, x0i = refs[:4]
+            jac, split = _split_rows(refs[4:4 + n_rows])
+            xr, xi, hr, hi = refs[4 + n_rows:]
             _fwd_body(Hr, Hi, x0r, x0i, xr, xi, hr, hi,
-                      dt=dt, iters=iters, jac=jac)
+                      dt=dt, iters=iters, jac=jac, split=split)
 
         return pl.pallas_call(
             body,
@@ -340,20 +395,16 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
                             lambda i, n=nsteps: (n - 1 - i, 0, 0), **vmem)
         full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
         row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
-        in_specs = [rev3, rev3, revs, revs, revs, revs, full, full]
-        if jac_np is not None:
-            in_specs += [row] * 4
+        in_specs = [rev3, rev3, revs, revs, revs, revs, full, full] \
+            + [row] * n_rows
 
         def body(*refs):
-            if jac_np is None:
-                (Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
-                 gr, gi, Hbr, Hbi), jac = refs, None
-            else:
-                (Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
-                 dr, di_, mr_, mi_, gr, gi, Hbr, Hbi) = refs
-                jac = (dr[:], di_[:], mr_[:], mi_[:])
+            Hr, Hi, xpr, xpi, jr, ji, gTr, gTi = refs[:8]
+            jac, split = _split_rows(refs[8:8 + n_rows])
+            gr, gi, Hbr, Hbi = refs[8 + n_rows:]
             _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
-                      gr, gi, Hbr, Hbi, dt=dt, iters=iters, jac=jac)
+                      gr, gi, Hbr, Hbi, dt=dt, iters=iters, jac=jac,
+                      split=split)
 
         return pl.pallas_call(
             body,
@@ -371,9 +422,7 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         xr0, xi0 = _pack(x0)
         Bp = xr0.shape[0]
         Hr, Hi = _h_planes(C, Sr, Si)
-        args = (Hr, Hi, xr0, xi0)
-        if jac_np is not None:
-            args = args + _jac_args()
+        args = (Hr, Hi, xr0, xi0) + _row_args()
         xr, xi, hr, hi = _fwd_call(ntime, Bp)(*args)
         xT = (xr[:B, :N] + 1j * xi[:B, :N]).astype(dtype)
         return xT, _unpack_hist(hr, hi, B, dtype), (hr, hi)
@@ -411,9 +460,7 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         _, u_vjp = jax.vjp(unpack_xT, hr[-1], hi[-1])
         gTr, gTi = u_vjp(xT_bar)
 
-        args = (Hr, Hi, pre_r, pre_i, jr, ji, gTr, gTi)
-        if jac_np is not None:
-            args = args + _jac_args()
+        args = (Hr, Hi, pre_r, pre_i, jr, ji, gTr, gTi) + _row_args()
         gr, gi, Hbr, Hbi = _bwd_call(ntime, Bp)(*args)
 
         _, pk_vjp = jax.vjp(_pack, x0_proto)

@@ -345,8 +345,8 @@ class Problem:
         # Jacobi-preconditioned stage solve, so stiff closed systems run
         # fused; the chunked cross-check path (ops/pallas_adjoint.py) is
         # plain-Neumann only.
-        pallas_solvers = ("neumann", "jacobi") if s.pallas_mode == "stream" \
-            else ("neumann",)
+        pallas_solvers = ("neumann", "jacobi", "split") \
+            if s.pallas_mode == "stream" else ("neumann",)
         pallas_ok = (not self.lindblad
                      and s.timestepper.upper() == "IMR"
                      and self.linsolver in pallas_solvers

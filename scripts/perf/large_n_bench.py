@@ -40,22 +40,39 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def main():
+    from quandary_tpu.ops.grouped_rhs import make_real_split_step
+
     cfg = Config.read(os.path.join(HERE, "nlevels_32_32_32_32.cfg"))
     setup, spec = setup_from_config(cfg, HERE)
     setup = dataclasses.replace(setup, dtype=jnp.complex64)
+    iters_env = os.environ.get("QTPU_LINSOLVE_ITERS")
+    if iters_env:
+        setup = dataclasses.replace(setup, linsolve_iters=int(iters_env))
+    solver_env = os.environ.get("QTPU_LINSOLVER")   # jacobi|split|auto
+    if solver_env and solver_env != "auto":
+        setup = dataclasses.replace(setup, linsolver=solver_env)
     prob = Problem(setup)
     eng = prob.engine
     print(f"N = {eng.N}  groups {eng.m1} x {eng.m2}  device "
           f"{jax.devices()[0].platform}  matmul_precision "
-          f"{jax.config.jax_default_matmul_precision}")
+          f"{jax.config.jax_default_matmul_precision}  linsolver "
+          f"{prob.linsolver}  iters {setup.linsolve_iters}")
 
-    # 1) forward sweep, all-real step in a scan
-    step = make_real_imr_step(eng, setup.dt, setup.linsolve_iters)
+    # 1) forward sweep, all-real step in a scan. level0 = ground corner;
+    # level7 = a high Kerr-rotated basis state (the f32 drift worst case,
+    # PERF.md 'Precision')
+    if prob.linsolver == "split":
+        step = make_real_split_step(eng, setup.dt, setup.linsolve_iters)
+    else:
+        step = make_real_imr_step(eng, setup.dt, setup.linsolve_iters)
     C = np.asarray(jax.device_get(prob.coeff_rows_mid(
         jnp.asarray(spec.params0, dtype=jnp.float32))))[:, 0, :]
-    Xr = jax.jit(lambda: jnp.zeros((1, eng.m1, eng.m2), jnp.float32)
-                 .at[0, 0, 0].set(1.0))()
-    Xi = jax.jit(lambda: jnp.zeros((1, eng.m1, eng.m2), jnp.float32))()
+    hi = 7 * 33 if eng.m1 >= 256 else eng.m1 - 1   # levels (7,7) per group
+    Xr = jax.jit(lambda: jnp.zeros((2, eng.m1, eng.m2), jnp.float32)
+                 .at[0, 0, 0].set(1.0)
+                 .at[1, min(hi, eng.m1 - 1), min(hi, eng.m2 - 1)]
+                 .set(1.0))()
+    Xi = jax.jit(lambda: jnp.zeros((2, eng.m1, eng.m2), jnp.float32))()
 
     def sweep(Xr, Xi, Cs):
         def body(carry, c):
@@ -73,8 +90,10 @@ def main():
     ar, ai = f(Xr, Xi, Cs)
     float(jnp.sum(ar[0, :2, :2] ** 2))
     dt = time.time() - t0
-    print(f"forward sweep: {dt:.3f} s ({dt / setup.ntime * 1e3:.2f} ms/step)"
-          f"  norm {float(jnp.sum(ar * ar + ai * ai)):.6f}")
+    norms = [float(jnp.sum(ar[b] ** 2 + ai[b] ** 2)) for b in (0, 1)]
+    print(f"forward sweep: {dt:.3f} s ({dt / setup.ntime * 1e3:.2f} ms/step"
+          f" x2 states)  norm drift ground {norms[0] - 1.0:+.2e}"
+          f"  level7 {norms[1] - 1.0:+.2e}")
 
     # 2) full gradient sweep (reversible adjoint)
     vg = prob.build_value_and_grad()

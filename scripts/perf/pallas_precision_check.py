@@ -22,10 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 
-TRUTH = "/tmp/quandary_precision_truth.npz"
+TRUTH = "/tmp/quandary_precision_truth_{}.npz"
 
 
-def main(mode: str):
+def main(mode: str, linsolver: str = "jacobi"):
     import jax
 
     if mode == "cpu64":
@@ -37,7 +37,9 @@ def main(mode: str):
     from bench import build_problem
     from quandary_tpu.problem import Problem
 
-    problem, setup = build_problem(pallas="auto")
+    kw = {} if linsolver == "jacobi" else dict(linsolver="split",
+                                               linsolve_iters=4)
+    problem, setup = build_problem(pallas="auto", **kw)
     if mode == "cpu64":
         setup = dataclasses.replace(setup, dtype=jnp.complex128, pallas=False)
         problem = Problem(setup)
@@ -51,16 +53,16 @@ def main(mode: str):
     g = np.asarray(g, dtype=np.float64)
 
     if mode == "cpu64":
-        np.savez(TRUTH, J=J, g=g)
+        np.savez(TRUTH.format(linsolver), J=J, g=g)
         print(json.dumps({"mode": "cpu64", "J": J, "gnorm": float(np.linalg.norm(g))}))
         return
 
-    t = np.load(TRUTH)
+    t = np.load(TRUTH.format(linsolver))
     J64, g64 = float(t["J"]), t["g"]
     rel_g = float(np.linalg.norm(g - g64) / np.linalg.norm(g64))
     print(json.dumps({
-        "mode": mode,
-        "precision": os.environ.get("QTPU_PALLAS_PRECISION", "highest"),
+        "mode": mode, "linsolver": linsolver,
+        "precision": os.environ.get("QTPU_PALLAS_PRECISION", "high"),
         "engine": "pallas-fused" if problem.use_pallas else "xla-scan",
         "J": J, "dJ_vs_f64": J - J64, "rel_grad_err": rel_g,
         "fidelity": float(aux["fidelity"]),
@@ -68,4 +70,5 @@ def main(mode: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "tpu")
+    main(sys.argv[1] if len(sys.argv) > 1 else "tpu",
+         sys.argv[2] if len(sys.argv) > 2 else "jacobi")

@@ -33,7 +33,14 @@ def main(mode: str):
     from quandary_tpu.problem import Problem
 
     problem, setup = build_problem(pallas="auto")
-    if mode != "stream":
+    if mode == "split":
+        # diagonally-split stepper in-kernel: exact diagonal rotation +
+        # plain Neumann on the off-diagonal remainder at 4 iterations
+        # (truncation (dt/2 |V|)^5 ~ 1e-11 on this workload)
+        setup = dataclasses.replace(setup, linsolver="split",
+                                    linsolve_iters=4)
+        problem = Problem(setup)
+    elif mode != "stream":
         problem = Problem(dataclasses.replace(setup, pallas_mode=mode))
     assert problem.use_pallas, "pallas path not eligible?"
 

@@ -148,6 +148,95 @@ def test_stream_vmap_over_candidates():
     assert np.abs(np.asarray(g[2] - g0)).max() < 1e-5
 
 
+def test_stream_split_matches_scan_split():
+    """Split variant: the in-kernel diagonally-split stepper must match the
+    scan-path split stepper (steppers.make_step_fn linsolver='split') on
+    value and gradient, on a STIFF diagonal."""
+    from quandary_tpu.ops.steppers import make_step_fn
+
+    rng = np.random.default_rng(3)
+    K, N, B, ntime, dt, iters = 4, 12, 2, 11, 0.05, 4
+    stack = _random_hermitian_stack(rng, K, N, stiff=40.0)
+    gen_diag = (-1j * np.diagonal(stack[0])).astype(np.complex128)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    x0 = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
+          ).astype(np.complex64)
+    C = np.asarray(rng.normal(size=(ntime, K)) * 0.3, dtype=np.float32)
+    C[:, 0] = 1.0
+    loss = _loss_pair(rng, B, N, ntime)
+
+    S = jnp.asarray(stack.astype(np.complex64))
+    step = make_step_fn(lambda c, x: -1j * (x @ jnp.tensordot(
+        c.astype(jnp.complex64), S, axes=1).T), dt, "IMR",
+        linsolve_iters=iters, linsolver="split", gen_diag=gen_diag)
+
+    def f_scan(C_, x0_):
+        def body(x, c):
+            x = step(x, c[None])
+            return x, x
+        xT, hist = jax.lax.scan(body, jnp.asarray(x0_), jnp.asarray(C_))
+        return loss(xT, hist)
+
+    prop = make_stream_propagate(stack, dt, iters, gen_diag=gen_diag,
+                                 linsolver="split", interpret=True)
+
+    def f_stream(C_, x0_):
+        xT, hist = prop(Sr, Si, jnp.asarray(x0_), jnp.asarray(C_))
+        return loss(xT, hist)
+
+    Cj = jnp.asarray(C)
+    v0, g0 = jax.value_and_grad(f_scan, argnums=(0, 1))(Cj, x0)
+    v1, g1 = jax.value_and_grad(f_stream, argnums=(0, 1))(Cj, x0)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-5)
+    for a, b in zip(g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 5e-5 * max(np.abs(a).max(), 1e-12)
+
+
+def test_problem_split_pallas_parity():
+    """Explicit linsolver='split' on a dense problem keeps the fused path
+    eligible and matches the scan path on value and gradient."""
+    from quandary_tpu.models.hamiltonian import build_standard_model
+    from quandary_tpu.problem import Problem, Setup
+    from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
+
+    T, ntime = 4.0, 12
+    model = build_standard_model(
+        nlevels=[4], freq01_ghz=[4.1], rotfreq_ghz=[0.0],
+        selfkerr_ghz=[0.25], crosskerr_ghz=[], jkl_ghz=[])
+    oscs = (OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=4, tstart=0.0,
+                                 tstop=T),),
+        carrier_freqs=(0.0,)),)
+    base = Setup(
+        model=model, nessential=(3,), ntime=ntime, dt=T / ntime,
+        linsolve_iters=4, linsolver="split",
+        oscillators=oscs, ground_freqs_radns=(4.1 * 2 * np.pi,),
+        initcond_type="basis", target_type="pure",
+        pure_target_levels=(1,), objective_type="Jfrobenius",
+        gamma_tik=1e-4, gamma_penalty=0.1,
+        dtype=jnp.complex64, time_parallel=False)
+
+    rng = np.random.default_rng(2)
+    params = jnp.asarray(rng.normal(size=base.nparams) * 0.02,
+                         dtype=jnp.float64)
+    ref = jnp.zeros_like(params)
+
+    outs = {}
+    for flag in (False, True):
+        prob = Problem(dataclasses.replace(base, pallas=flag))
+        assert prob.linsolver == "split"
+        assert prob.use_pallas == flag
+        (J, aux), g = jax.value_and_grad(prob.objective, has_aux=True)(
+            params, ref)
+        outs[flag] = (float(J), np.asarray(g))
+
+    J0, g0 = outs[False]
+    J1, g1 = outs[True]
+    assert abs(J1 - J0) < 5e-6 * max(1.0, abs(J0))
+    assert np.abs(g1 - g0).max() < 5e-5 * max(np.abs(g0).max(), 1e-12)
+
+
 def test_high_precision_error_bound(monkeypatch):
     """The default in-kernel precision ('high', 3-pass bf16 hi/lo split)
     stays within ~1e-4 relative of the exact-f32 kernels on value and
