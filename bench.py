@@ -221,8 +221,10 @@ def _run_bench(device: str, pallas="auto", results_path=None):
     emit({"stage": f"single-done:{device}", "single": round(single_per_s, 3)})
 
     # 2) ensemble throughput: E control candidates per call (vmapped) — the
-    # aggregate gradient-sweep rate of the chip
-    E = 16
+    # aggregate gradient-sweep rate of the chip. E=32 measured ~15% over
+    # E=16 on the TPU split kernels (fixed-overhead amortization); CPU
+    # stays at 16 to bound the safety-net latency.
+    E = 32 if device == "tpu" else 16
     evg = problem.build_ensemble_value_and_grad()
     P = jnp.asarray(rng.uniform(-1, 1, (E, setup.nparams)) * 0.005,
                     dtype=jnp.float32)

@@ -105,6 +105,26 @@ def _split_planes(gen_diag, dt: float, N: int, P: int):
     return (E.real.astype(np.float32)[None], E.imag.astype(np.float32)[None])
 
 
+def lindblad_prime_stack(stack, Ls):
+    """(K, N^2, N^2) pseudo-Hamiltonian stack H' such that the streamed
+    kernels — which integrate dv/dt = -i H'(c) v — propagate the VECTORIZED
+    Lindblad equation: with the column-major vec(rho) generator
+    L(c) = -i A + i conj(B) + jump (ops/propagator.lindblad_superop_builder),
+    set H' = i L, i.e. per slot  H'_j = I (x) O_j - conj(O_j) (x) I  and
+    slot 0 += i * sum_l conj(L_l) (x) L_l. H' is NOT Hermitian (dissipation)
+    — the kernels never assume Hermiticity (the backward kernel applies the
+    exact real transpose)."""
+    stack = np.asarray(stack)
+    K, N, _ = stack.shape
+    eye = np.eye(N)
+    Hp = np.stack([np.kron(eye, O) - np.kron(np.conj(O), eye)
+                   for O in stack]).astype(np.complex128)
+    if Ls is not None:
+        Hp[0] += 1j * sum(np.kron(np.conj(np.asarray(L)), np.asarray(L))
+                          for L in Ls)
+    return Hp.astype(stack.dtype)
+
+
 def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
               xr_ref, xi_ref, hr_ref, hi_ref, *, dt, iters, jac, split):
     """One forward step of the streamed grid. jac: None for plain Neumann,

@@ -347,7 +347,13 @@ class Problem:
         # plain-Neumann only.
         pallas_solvers = ("neumann", "jacobi", "split") \
             if s.pallas_mode == "stream" else ("neumann",)
-        pallas_ok = (not self.lindblad
+        # Open systems run fused too (streamed kernels only): the state is
+        # the column-major vec(rho) and the kernel integrates the pseudo-
+        # Hamiltonian H' = i*L (pallas_stream.lindblad_prime_stack), capped
+        # at N^2 <= 1024 by the (P, P) VMEM plane size.
+        lind_fusable = (self.lindblad and s.pallas_mode == "stream"
+                        and self.N * self.N <= 1024)
+        pallas_ok = ((not self.lindblad or lind_fusable)
                      and s.timestepper.upper() == "IMR"
                      and self.linsolver in pallas_solvers
                      and s.dtype == jnp.complex64
@@ -360,7 +366,12 @@ class Problem:
         if self.use_pallas:
             from .ops.pallas_adjoint import plane_args
             eng = self.engine
-            eng.pallas_Sr, eng.pallas_Si = plane_args(eng.stack)
+            if self.lindblad:
+                from .ops.pallas_stream import lindblad_prime_stack
+                Hp = lindblad_prime_stack(eng.stack, eng.Ls)
+                eng.pallas_Sr, eng.pallas_Si = plane_args(Hp)
+            else:
+                eng.pallas_Sr, eng.pallas_Si = plane_args(eng.stack)
 
         # --- time-parallel feasibility (ops/propagator.py) ---
         dim_prop = self.N * self.N if self.lindblad else self.N
@@ -662,23 +673,35 @@ class Problem:
             # gradient flows through the hand-derived kernel VJP. 'stream'
             # = one grid-over-steps launch per direction with pipelined
             # H planes; 'chunk' = Tc steps per launch (cross-check).
-            shape_proto = np.zeros((self.model.K, self.N, self.N),
-                                   np.complex64)
+            dim = self.N * self.N if self.lindblad else self.N
+            gd = self.gen_diag
+            if self.lindblad and gd is not None:
+                # superop diagonal: the engine diag is in (N, N) matrix
+                # layout; the kernel state is column-major vec(rho)
+                gd = np.asarray(gd).T.reshape(-1)
+            shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
             if s.pallas_mode == "stream":
                 from .ops.pallas_stream import make_stream_propagate
                 prop = make_stream_propagate(
                     shape_proto, s.dt, s.linsolve_iters,
-                    gen_diag=self.gen_diag, linsolver=self.linsolver,
+                    gen_diag=gd, linsolver=self.linsolver,
                     interpret=self._pallas_interpret)
             else:
                 from .ops.pallas_adjoint import make_pallas_propagate
                 prop = make_pallas_propagate(
                     shape_proto, s.dt, s.linsolve_iters,
                     interpret=self._pallas_interpret)
+            x0k = jnp.asarray(self.x0, dtype=s.dtype)
+            if self.lindblad:
+                x0k = x0k.transpose(0, 2, 1).reshape(self.ninit, dim)
             xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
                             jnp.asarray(self.engine.pallas_Si),
-                            jnp.asarray(self.x0, dtype=s.dtype),
-                            C[:, 0, :])
+                            x0k, C[:, 0, :])
+            if self.lindblad:
+                xT = xT.reshape(self.ninit, self.N, self.N
+                                ).swapaxes(-1, -2)
+                hist = hist.reshape(s.ntime, self.ninit, self.N, self.N
+                                    ).swapaxes(-1, -2)
             pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(hist)
             return self._assemble_objective(
                 params, params_ref, xT,

@@ -237,6 +237,53 @@ def test_problem_split_pallas_parity():
     assert np.abs(g1 - g0).max() < 5e-5 * max(np.abs(g0).max(), 1e-12)
 
 
+def test_problem_lindblad_pallas_parity():
+    """Open systems run fused (streamed kernels on the vectorized
+    pseudo-Hamiltonian H' = i*L): value and gradient must match the scan
+    path on a decaying + dephasing two-level+guard system."""
+    from quandary_tpu.models.hamiltonian import build_standard_model
+    from quandary_tpu.problem import Problem, Setup
+    from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
+
+    T, ntime = 4.0, 10
+    model = build_standard_model(
+        nlevels=[3], freq01_ghz=[4.1], rotfreq_ghz=[4.1],
+        selfkerr_ghz=[0.22], crosskerr_ghz=[], jkl_ghz=[],
+        decay_time=[100.0], dephase_time=[50.0], lindblad=True)
+    oscs = (OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=4, tstart=0.0,
+                                 tstop=T),),
+        carrier_freqs=(0.0,)),)
+    base = Setup(
+        model=model, nessential=(2,), ntime=ntime, dt=T / ntime,
+        linsolve_iters=8,
+        oscillators=oscs, ground_freqs_radns=(4.1 * 2 * np.pi,),
+        initcond_type="basis", target_type="pure",
+        pure_target_levels=(1,), objective_type="Jtrace",
+        gamma_tik=1e-4, gamma_penalty=0.1,
+        dtype=jnp.complex64, time_parallel=False)
+
+    rng = np.random.default_rng(4)
+    params = jnp.asarray(rng.normal(size=base.nparams) * 0.02,
+                         dtype=jnp.float64)
+    ref = jnp.zeros_like(params)
+
+    outs = {}
+    for flag in (False, True):
+        prob = Problem(dataclasses.replace(base, pallas=flag))
+        assert prob.lindblad
+        assert prob.use_pallas == flag
+        (J, aux), g = jax.value_and_grad(prob.objective, has_aux=True)(
+            params, ref)
+        outs[flag] = (float(J), np.asarray(g), float(aux["fidelity"]))
+
+    J0, g0, f0 = outs[False]
+    J1, g1, f1 = outs[True]
+    assert abs(J1 - J0) < 5e-6 * max(1.0, abs(J0))
+    assert abs(f1 - f0) < 5e-6
+    assert np.abs(g1 - g0).max() < 5e-5 * max(np.abs(g0).max(), 1e-12)
+
+
 def test_high_precision_error_bound(monkeypatch):
     """The default in-kernel precision ('high', 3-pass bf16 hi/lo split)
     stays within ~1e-4 relative of the exact-f32 kernels on value and
