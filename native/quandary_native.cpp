@@ -94,6 +94,46 @@ void qtpu_rng_uniform(void* h, int64_t n, double* out) {
     for (int64_t i = 0; i < n; i++) out[i] = r->dist(r->eng);
 }
 
+// Sparse-triplet Hamiltonian file reader (hamiltonian_Hsys.dat /
+// hamiltonian_Hc.dat, the formats quandary.py:__dump writes). Lines are
+// "row col re im" (ncols_id = 2) or "osc row col re im" (ncols_id = 3);
+// '#' starts a comment. Fills parallel arrays of ids (int64, ncols_id per
+// entry) and values (re, im per entry); returns the number of triplets
+// read, or -1 on open failure. The reference reads these files with
+// C++ streams on rank 0 (hamiltonianfilereader.cpp:21-105); the Python
+// fallback parser is ~40x slower on million-line custom Hamiltonians.
+int64_t qtpu_read_triplets(const char* path, int ncols_id,
+                           int64_t* ids, double* vals, int64_t maxn) {
+    FILE* f = fopen(path, "r");
+    if (!f) return -1;
+    int64_t n = 0;
+    char line[512];
+    while (n < maxn && fgets(line, sizeof line, f)) {
+        char* p = line;
+        while (*p == ' ' || *p == '\t') p++;
+        if (*p == '#' || *p == '\n' || *p == '\0') continue;
+        char* end = p;
+        bool ok = true;
+        for (int c = 0; c < ncols_id; c++) {
+            long long v = strtoll(p, &end, 10);
+            if (end == p) { ok = false; break; }
+            ids[n * ncols_id + c] = (int64_t)v;
+            p = end;
+        }
+        if (!ok) continue;
+        double re = strtod(p, &end);
+        if (end == p) continue;
+        p = end;
+        double im = strtod(p, &end);
+        if (end == p) im = 0.0;
+        vals[n * 2] = re;
+        vals[n * 2 + 1] = im;
+        n++;
+    }
+    fclose(f);
+    return n;
+}
+
 // Fast whitespace-separated table reader (golden-file comparisons and
 // warm-start params.dat loading). Returns number of values read, or -1.
 int64_t qtpu_read_table(const char* path, double* out, int64_t maxn) {

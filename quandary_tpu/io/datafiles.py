@@ -70,8 +70,16 @@ def write_hamiltonian_ctrl(path: str, Hc_re, Hc_im) -> None:
 
 def read_hamiltonian_sys(path: str, dim: int) -> np.ndarray:
     """hamiltonian_Hsys.dat: lines 'row col re im' (quandary.py:599-606),
-    '#' comments allowed."""
+    '#' comments allowed. Parses with the native C++ triplet reader when
+    available (the reference reads these files natively on rank 0,
+    hamiltonianfilereader.cpp:21-105); pure-Python fallback otherwise."""
+    from .native import read_triplets
+    trip = read_triplets(path, 2)
     H = np.zeros((dim, dim), dtype=np.complex128)
+    if trip is not None:
+        ids, vals = trip
+        H[ids[:, 0], ids[:, 1]] = vals
+        return H
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -85,15 +93,23 @@ def read_hamiltonian_sys(path: str, dim: int) -> np.ndarray:
 
 def read_hamiltonian_ctrl(path: str, dim: int, noscillators: int):
     """hamiltonian_Hc.dat: lines 'osc row col re im' (quandary.py:608-617).
-    Returns (Hc_re list, Hc_im list)."""
+    Returns (Hc_re list, Hc_im list). Native triplet parse when available."""
+    from .native import read_triplets
     Hc = [np.zeros((dim, dim), dtype=np.complex128) for _ in range(noscillators)]
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split()
-            k = int(parts[0])
-            i, j = int(parts[1]), int(parts[2])
-            Hc[k][i, j] = float(parts[3]) + 1j * float(parts[4])
+    trip = read_triplets(path, 3)
+    if trip is not None:
+        ids, vals = trip
+        for k in range(noscillators):
+            sel = ids[:, 0] == k
+            Hc[k][ids[sel, 1], ids[sel, 2]] = vals[sel]
+    else:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                k = int(parts[0])
+                i, j = int(parts[1]), int(parts[2])
+                Hc[k][i, j] = float(parts[3]) + 1j * float(parts[4])
     return [np.real(H) for H in Hc], [np.imag(H) for H in Hc]
