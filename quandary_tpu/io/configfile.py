@@ -280,8 +280,15 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
             lindblad=lindblad)
     else:
         # Standard model: use the dense operator stack for small N, the
-        # matrix-free tensor engine for large N (the dense (K, N, N) stack
-        # would not even fit for e.g. nlevels 32,32,32,32).
+        # matrix-free structured engines for large N (the dense (K, N, N)
+        # stack would not even fit for e.g. nlevels 32,32,32,32).
+        # 'usematfree' (the reference's matrix-free-kernels hint,
+        # main.cpp:290-314) is consumed but ADVISORY here: it selects
+        # between the reference's two mathematically-identical RHS
+        # implementations, and the TPU-first analog of that choice is the
+        # automatic engine selection (dense stack enables the fused kernels
+        # at small N; tensor/grouped engines take over at large N).
+        cfg.get_bool("usematfree", False)
         if N > 1024:
             from ..ops.tensor_rhs import build_structured_model
             model = build_structured_model(
@@ -381,7 +388,15 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
         dt=dt,
         timestepper=cfg.get_str("timestepper", "IMR"),
         linsolve_iters=cfg.get_int("linearsolver_maxiter", 20),
-        linsolver="neumann",  # Problem auto-switches to GMRES for stiff dt
+        # 'linearsolver_type' (gmres|neumann) is consumed but ADVISORY: it
+        # picks between two solvers for the SAME IMR stage equations, and
+        # the TPU-first choice — fixed-iteration Neumann with the
+        # stiffness-guard upgrade to the Jacobi-preconditioned iteration —
+        # reaches machine-precision residuals where the reference's
+        # unpreconditioned GMRES warns above 1e-3 (timestepper.cpp:612).
+        # An explicit GMRES stage solve remains available via
+        # Setup.linsolver='gmres' for parity experiments.
+        linsolver="neumann",
         oscillators=tuple(oscillators),
         pipulses=tuple(pipulses) if any(len(p) for p in pipulses) else None,
         ground_freqs_radns=tuple(2.0 * np.pi * f for f in transfreq),
@@ -398,13 +413,21 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
                         "Jmeasure": "Jmeasure"}[cfg.get_str("optim_objective", "Jtrace")],
         obj_weights=np.asarray(cfg.get_vec_double("optim_weights", 1.0)),
         gamma_tik=cfg.get_double("optim_regul", 1e-4),
-        gamma_tik_interpolate=cfg.get_bool("optim_regul_tik0", False),
+        # 'optim_regul_interpolate' is the deprecated alias the reference
+        # still honors (optimproblem.cpp:107-111)
+        gamma_tik_interpolate=cfg.get_bool(
+            "optim_regul_tik0",
+            cfg.get_bool("optim_regul_interpolate", False)),
         gamma_penalty=cfg.get_double("optim_penalty", 0.0),
         penalty_param=cfg.get_double("optim_penalty_param", 0.5),
         gamma_penalty_dpdm=(0.0 if lindblad else cfg.get_double("optim_penalty_dpdm", 0.0)),
         gamma_penalty_energy=cfg.get_double("optim_penalty_energy", 0.0),
         gamma_penalty_variation=cfg.get_double("optim_penalty_variation", 0.01),
     )
+    # np_optim: the reference's reserved time-parallel axis, hard-coded to
+    # size 1 there (main.cpp:140-143); consumed for config_log parity. The
+    # realized analog is the associative-scan time-parallel path.
+    cfg.get_int("np_optim", 1)
 
     bounds = []
     for k in range(Q):

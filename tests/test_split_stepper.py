@@ -176,3 +176,37 @@ def test_stiff_grouped_auto_selects_split():
     problem, _ = _grouped_setup(nlev=6, ntime=8, T=2.0, linsolver="neumann",
                                 iters=8)
     assert problem.linsolver == "split"
+
+
+def test_split_imr4_fourth_order():
+    """Yoshida composition of the (time-symmetric, 2nd-order) split step is
+    4th order, exactly as for plain IMR sub-steps."""
+    rng = np.random.default_rng(1)
+    N = 5
+    h = np.linspace(0.0, 25.0, N)
+    Voff = rng.normal(size=(N, N)) + 1j * rng.normal(size=(N, N))
+    Voff = (Voff + Voff.conj().T) / 2
+    np.fill_diagonal(Voff, 0.0)
+    H = np.diag(h) + 0.3 * Voff
+    x0 = rng.normal(size=(1, N)) + 1j * rng.normal(size=(1, N))
+    x0 /= np.linalg.norm(x0)
+
+    import scipy.linalg as sla
+    T = 0.5
+    xT_exact = x0 @ sla.expm(-1j * H * T).T
+
+    def run(nt):
+        dt = T / nt
+        rhs = lambda c, x: -1j * (x @ jnp.asarray(H).T)
+        step = make_step_fn(rhs, dt, "IMR4", linsolve_iters=14,
+                            linsolver="split",
+                            gen_diag=-1j * jnp.asarray(h))
+        x = jnp.asarray(x0)
+        c = jnp.ones((3, 1))
+        for _ in range(nt):
+            x = step(x, c)
+        return np.asarray(x)
+
+    errs = [np.linalg.norm(run(nt) - xT_exact) for nt in (16, 32)]
+    order = np.log2(errs[0] / errs[1])
+    assert 3.5 < order < 4.6, (errs, order)
