@@ -126,12 +126,16 @@ def lindblad_prime_stack(stack, Ls):
 
 
 def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
-              xr_ref, xi_ref, hr_ref, hi_ref, *, dt, iters, jac, split):
+              xr_ref, xi_ref, hr_ref, hi_ref, ks_refs=None,
+              *, dt, iters, jac, split):
     """One forward step of the streamed grid. jac: None for plain Neumann,
     or the (dr, di, mr, mi) plane tuple for the Jacobi solve. split: None,
     or the (er, ei) rows of the exact half-step diagonal propagator — the
     diagonally-split stepper (H planes carry the OFF-DIAGONAL remainder,
-    diag zeroed outside the kernel; see steppers.make_step_fn)."""
+    diag zeroed outside the kernel; see steppers.make_step_fn).
+    ks_refs: optional (ksr_ref, ksi_ref) blocks of shape
+    (1, iters*Bp, P) receiving the stage iterates k_0..k_{iters-1} so the
+    backward kernel can skip its replay entirely."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -147,6 +151,13 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
         ai = _dot(vr, Hi.T) + _dot(vi, Hr.T)
         return ai, -ar
 
+    Bp = xr_ref.shape[0]
+
+    def store_k(j, kr, ki):
+        if ks_refs is not None and j < iters:
+            ks_refs[0][0, j * Bp:(j + 1) * Bp, :] = kr
+            ks_refs[1][0, j * Bp:(j + 1) * Bp, :] = ki
+
     a = dt / 2.0
     xr = xr_ref[:]
     xi = xi_ref[:]
@@ -156,10 +167,12 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
     br, bi = matvec(xr, xi)
     if jac is None:
         kr, ki = br, bi
-        for _ in range(iters):
+        store_k(0, kr, ki)
+        for j in range(iters):
             mr, mi = matvec(kr, ki)
             kr = br + a * mr
             ki = bi + a * mi
+            store_k(j + 1, kr, ki)
     else:
         dr, di_, mr_, mi_ = jac
 
@@ -167,11 +180,13 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
             return mr_ * vr - mi_ * vi, mi_ * vr + mr_ * vi
 
         kr, ki = W(br, bi)
-        for _ in range(iters):
+        store_k(0, kr, ki)
+        for j in range(iters):
             tr, ti = matvec(kr, ki)
             ur = tr - (dr * kr - di_ * ki)
             ui = ti - (dr * ki + di_ * kr)
             kr, ki = W(br + a * ur, bi + a * ui)
+            store_k(j + 1, kr, ki)
     xr = xr + dt * kr
     xi = xi + dt * ki
     if split is not None:
@@ -184,12 +199,14 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
 
 def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
               gTr_ref, gTi_ref, gr_ref, gi_ref, Hbr_ref, Hbi_ref,
-              *, dt, iters, jac, split):
+              ks_refs=None, *, dt, iters, jac, split):
     """Exact real-arithmetic transpose of one computed step (the grid runs
     steps in REVERSE order via the index maps). For the split stepper the
     rotation transposes to its inverse (E^T = E^{-1}): state cotangent AND
     pre-step state move into the rotated frame, the plain-Neumann transpose
-    chain runs there, and the outgoing cotangent rotates back."""
+    chain runs there, and the outgoing cotangent rotates back.
+    ks_refs: optional forward-stored stage iterates k_0..k_{iters-1}
+    ((1, iters*Bp, P) blocks) — when present, the replay is skipped."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -235,16 +252,26 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
     kbr = dt * gr
     kbi = dt * gi
 
+    Bp = gr.shape[0]
+
+    def load_ks():
+        return [(ks_refs[0][0, j * Bp:(j + 1) * Bp, :],
+                 ks_refs[1][0, j * Bp:(j + 1) * Bp, :])
+                for j in range(iters)]
+
     if jac is None:
-        # replay the Neumann iterates k_0..k_{iters-1}
-        br, bi = T(xpr, xpi)
-        ks = [(br, bi)]
-        kr, ki = br, bi
-        for _ in range(iters - 1):
-            mr, mi = T(kr, ki)
-            kr = br + a * mr
-            ki = bi + a * mi
-            ks.append((kr, ki))
+        if ks_refs is not None:
+            ks = load_ks()          # forward-stored iterates: no replay
+        else:
+            # replay the Neumann iterates k_0..k_{iters-1}
+            br, bi = T(xpr, xpi)
+            ks = [(br, bi)]
+            kr, ki = br, bi
+            for _ in range(iters - 1):
+                mr, mi = T(kr, ki)
+                kr = br + a * mr
+                ki = bi + a * mi
+                ks.append((kr, ki))
         # transpose of k_j = b + a T(k_{j-1}), j = iters..1; k_0 = b
         for j in range(iters, 0, -1):
             bbr = bbr + kbr
@@ -266,16 +293,19 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
         def Dt(ur, ui):  # transpose of v -> d*v = multiply by conj(d)
             return dr * ur + di_ * ui, dr * ui - di_ * ur
 
-        # replay k_0..k_{iters-1} of the Jacobi iteration
-        br, bi = T(xpr, xpi)
-        kr, ki = W(br, bi)
-        ks = [(kr, ki)]
-        for _ in range(iters - 1):
-            tr, ti = T(kr, ki)
-            ur = tr - (dr * kr - di_ * ki)
-            ui = ti - (dr * ki + di_ * kr)
-            kr, ki = W(br + a * ur, bi + a * ui)
-            ks.append((kr, ki))
+        if ks_refs is not None:
+            ks = load_ks()          # forward-stored iterates: no replay
+        else:
+            # replay k_0..k_{iters-1} of the Jacobi iteration
+            br, bi = T(xpr, xpi)
+            kr, ki = W(br, bi)
+            ks = [(kr, ki)]
+            for _ in range(iters - 1):
+                tr, ti = T(kr, ki)
+                ur = tr - (dr * kr - di_ * ki)
+                ui = ti - (dr * ki + di_ * kr)
+                kr, ki = W(br + a * ur, bi + a * ui)
+                ks.append((kr, ki))
         # transpose of k_j = W(b + a(T(k_{j-1}) - d k_{j-1})), j = iters..1
         for j in range(iters, 0, -1):
             ur, ui = Wt(kbr, kbi)
@@ -342,6 +372,12 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         raise ValueError(f"streamed pallas supports neumann/jacobi/split, "
                          f"got {linsolver!r}")
     n_rows = 4 if jac_np is not None else (2 if split_np is not None else 0)
+    # Store the forward stage iterates so the backward kernel skips its
+    # replay entirely (saves `iters` matvecs per backward step). HBM cost is
+    # iters x (Bp, P) f32 planes per step per direction — cheap at the small
+    # iteration counts the split/neumann paths use, prohibitive at large
+    # ones, hence the cap.
+    store_iters = iters <= 4
 
     vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
     cparams = {} if not _HAVE_PLTPU else {
@@ -392,19 +428,28 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         def body(*refs):
             Hr, Hi, x0r, x0i = refs[:4]
             jac, split = _split_rows(refs[4:4 + n_rows])
-            xr, xi, hr, hi = refs[4 + n_rows:]
-            _fwd_body(Hr, Hi, x0r, x0i, xr, xi, hr, hi,
+            outs = refs[4 + n_rows:]
+            xr, xi, hr, hi = outs[:4]
+            ks_refs = outs[4:6] if store_iters else None
+            _fwd_body(Hr, Hi, x0r, x0i, xr, xi, hr, hi, ks_refs,
                       dt=dt, iters=iters, jac=jac, split=split)
 
+        hist_spec = pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem)
+        out_shape = (jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2 \
+            + (jax.ShapeDtypeStruct((nsteps, Bp, P), jnp.float32),) * 2
+        out_specs = (full, full, hist_spec, hist_spec)
+        if store_iters:
+            ks_spec = pl.BlockSpec((1, iters * Bp, P),
+                                   lambda i: (i, 0, 0), **vmem)
+            out_shape = out_shape + (jax.ShapeDtypeStruct(
+                (nsteps, iters * Bp, P), jnp.float32),) * 2
+            out_specs = out_specs + (ks_spec, ks_spec)
         return pl.pallas_call(
             body,
             grid=(nsteps,),
-            out_shape=(jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2
-            + (jax.ShapeDtypeStruct((nsteps, Bp, P), jnp.float32),) * 2,
+            out_shape=out_shape,
             in_specs=in_specs,
-            out_specs=(full, full,
-                       pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem),
-                       pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem)),
+            out_specs=out_specs,
             interpret=interpret,
             **cparams)
 
@@ -417,14 +462,21 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
         in_specs = [rev3, rev3, revs, revs, revs, revs, full, full] \
             + [row] * n_rows
+        if store_iters:
+            revks = pl.BlockSpec((1, iters * Bp, P),
+                                 lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                                 **vmem)
+            in_specs += [revks, revks]
 
         def body(*refs):
             Hr, Hi, xpr, xpi, jr, ji, gTr, gTi = refs[:8]
             jac, split = _split_rows(refs[8:8 + n_rows])
-            gr, gi, Hbr, Hbi = refs[8 + n_rows:]
+            rest = refs[8 + n_rows:]
+            ks_refs = rest[:2] if store_iters else None
+            gr, gi, Hbr, Hbi = rest[2:] if store_iters else rest
             _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
-                      gr, gi, Hbr, Hbi, dt=dt, iters=iters, jac=jac,
-                      split=split)
+                      gr, gi, Hbr, Hbi, ks_refs, dt=dt, iters=iters,
+                      jac=jac, split=split)
 
         return pl.pallas_call(
             body,
@@ -443,22 +495,24 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         Bp = xr0.shape[0]
         Hr, Hi = _h_planes(C, Sr, Si)
         args = (Hr, Hi, xr0, xi0) + _row_args()
-        xr, xi, hr, hi = _fwd_call(ntime, Bp)(*args)
+        outs = _fwd_call(ntime, Bp)(*args)
+        xr, xi, hr, hi = outs[:4]
+        ks = outs[4:6] if store_iters else None
         xT = (xr[:B, :N] + 1j * xi[:B, :N]).astype(dtype)
-        return xT, _unpack_hist(hr, hi, B, dtype), (hr, hi)
+        return xT, _unpack_hist(hr, hi, B, dtype), (hr, hi), ks
 
     @jax.custom_vjp
     def propagate(Sr, Si, x0, C):
-        xT, hist, _ = _run_forward(Sr, Si, x0, C)
+        xT, hist, _, _ = _run_forward(Sr, Si, x0, C)
         return xT, hist
 
     def fwd2(Sr, Si, x0, C):
-        xT, hist, planes = _run_forward(Sr, Si, x0, C)
+        xT, hist, planes, ks = _run_forward(Sr, Si, x0, C)
         x0p = _pack(x0)
-        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p)
+        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p, ks)
 
     def bwd2(res, cots):
-        Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i) = res
+        Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i), ks = res
         xT_bar, hist_bar = cots
         B, dtype = x0_proto.shape[0], x0_proto.dtype
         ntime = C.shape[0]
@@ -481,6 +535,8 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         gTr, gTi = u_vjp(xT_bar)
 
         args = (Hr, Hi, pre_r, pre_i, jr, ji, gTr, gTi) + _row_args()
+        if store_iters:
+            args = args + tuple(ks)
         gr, gi, Hbr, Hbi = _bwd_call(ntime, Bp)(*args)
 
         _, pk_vjp = jax.vjp(_pack, x0_proto)

@@ -49,12 +49,14 @@ def _loss_pair(rng, B, N, ntime):
     return loss
 
 
-@pytest.mark.parametrize("ntime", [1, 7, 19])
-def test_stream_matches_chunked(ntime):
+@pytest.mark.parametrize("ntime,iters", [(1, 8), (7, 8), (19, 8), (7, 3)])
+def test_stream_matches_chunked(ntime, iters):
     """Neumann variant: bit-identical math to the chunked kernels for any
-    ntime (no chunk-padding special case exists in the streamed form)."""
+    ntime (no chunk-padding special case exists in the streamed form).
+    iters=3 also exercises the stored-iterate backward path (iters <= 4
+    stores the forward stage iterates instead of replaying them)."""
     rng = np.random.default_rng(7)
-    K, N, B, dt, iters = 4, 12, 3, 0.02, 8
+    K, N, B, dt = 4, 12, 3, 0.02
     stack = _random_hermitian_stack(rng, K, N)
     C = jnp.asarray(rng.normal(size=(ntime, K)) * 0.7)
     x0 = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
