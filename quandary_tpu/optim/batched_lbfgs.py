@@ -95,9 +95,14 @@ def batched_lbfgsb(
         desc = jnp.einsum("en,en->e", d, pg)
         d = jnp.where((desc < 0)[:, None], d, -pg)
 
-        # parallel backtracking: all candidate steps at once
+        # parallel backtracking: every candidate's step lengths evaluated in
+        # a batched objective, SEQUENCED over the step-length axis with
+        # lax.map — peak memory scales with E, not E*L (the fused-kernel
+        # objective materializes O(ntime * N^2) Hamiltonian planes per
+        # batched call, so the flat E*L vmap exhausts HBM at production
+        # sizes)
         xc = jax.vmap(project)(x[:, None, :] + ts[None, :, None] * d[:, None, :])
-        fc = obj_b(xc.reshape(E * ls_lengths, n)).reshape(E, ls_lengths)
+        fc = jax.lax.map(obj_b, xc.transpose(1, 0, 2)).T   # (E, L)
         dx = xc - x[:, None, :]
         armijo = fc <= f[:, None] + c1 * jnp.einsum("en,eln->el", g, dx)
         any_ok = jnp.any(armijo, axis=1)

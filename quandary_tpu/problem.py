@@ -308,11 +308,13 @@ class Problem:
         # u^(iters+1) <= 1e-6/step keeps 10^4-step horizons below 1e-2 total
         u_ok = float(np.exp(np.log(1e-6) / (s.linsolve_iters + 1)))
         if self.linsolver == "neumann" and u_stiff > u_ok:
+            from .ops.grouped_lindblad import GroupedLindbladEngine as _GLE
             from .ops.grouped_rhs import GroupedEngine as _GE_guard
-            if isinstance(self.engine, _GE_guard):
-                # Grouped large-N engine: the diagonally-split stepper
+            if isinstance(self.engine, (_GE_guard, _GLE)):
+                # Grouped large-N engines: the diagonally-split stepper
                 # integrates the stiff drift diagonal EXACTLY (elementwise
-                # rotation) and solves only the small off-diagonal remainder
+                # rotation; exact decay factors for the Lindblad diagonal)
+                # and solves only the small off-diagonal remainder
                 # — more accurate than IMR on the stiff modes AND ~3x fewer
                 # solve iterations than the Jacobi-preconditioned path. Not
                 # auto-selected for dense/tensor engines, whose goldens pin

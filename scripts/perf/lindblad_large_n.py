@@ -46,7 +46,7 @@ def main():
         initcond_type="pure", pure_levels=(1, 0),
         target_type="pure", pure_target_levels=(0, 0),
         objective_type="Jtrace", dtype=jnp.complex64,
-        linsolve_iters=8,
+        linsolve_iters=int(os.environ.get("QTPU_LINSOLVE_ITERS", 8)),
     )
     prob = Problem(setup)
     eng = prob.engine
@@ -68,6 +68,12 @@ def main():
           f"ms/step)  trace {tr:.6f}")
 
     vg = prob.build_value_and_grad()
+    # nonzero controls: at alpha = 0 this configuration's exact first-order
+    # derivative vanishes (diagonal rho under pure decay/dephasing; control
+    # perturbations are off-diagonal at first order), which would make
+    # |g|max useless as a correctness signal
+    params = jnp.asarray(np.random.default_rng(3).uniform(
+        -1, 1, setup.nparams) * 0.02, jnp.float32)
     t0 = time.time()
     (J, aux), g = vg(params, params)
     print(f"gradient compile+run {time.time() - t0:.1f} s  J {float(J):.6f}")

@@ -210,3 +210,65 @@ def test_split_imr4_fourth_order():
     errs = [np.linalg.norm(run(nt) - xT_exact) for nt in (16, 32)]
     order = np.log2(errs[0] / errs[1])
     assert 3.5 < order < 4.6, (errs, order)
+
+
+def _grouped_lindblad_setup(nlev=4, ntime=24, T=1.2, linsolver="split",
+                            iters=4, dtype=jnp.complex128):
+    Q = 2
+    nlevels = [nlev, nlev]
+    freqs = [4.1, 4.2]
+    model = build_structured_model(
+        nlevels=nlevels, freq01_ghz=freqs, rotfreq_ghz=freqs,
+        selfkerr_ghz=[0.22, 0.21], crosskerr_ghz=[0.01], jkl_ghz=[0.005],
+        decay_time=[60.0, 70.0], dephase_time=[30.0, 35.0], lindblad=True)
+    oscs = tuple(
+        OscillatorControl(
+            segments=(ControlSegment("spline", nsplines=5, tstart=0.0,
+                                     tstop=T),),
+            carrier_freqs=(0.0, -0.2 * 2 * np.pi),
+        ) for _ in range(Q))
+    setup = Setup(
+        model=model, nessential=tuple(nlevels), ntime=ntime, dt=T / ntime,
+        oscillators=oscs,
+        ground_freqs_radns=tuple(2 * np.pi * f for f in freqs),
+        initcond_type="pure", pure_levels=(1, 0),
+        target_type="pure", pure_target_levels=(0, 0),
+        objective_type="Jtrace", gamma_tik=1e-4,
+        dtype=dtype, linsolve_iters=iters, linsolver=linsolver,
+        engine="grouped",
+    )
+    return Problem(setup), setup
+
+
+def test_grouped_lindblad_split_matches_fine_imr():
+    """Split on the grouped Lindblad engine (dissipative diagonal: exact
+    decay factors) converges to the same trajectory as Jacobi-IMR."""
+    from quandary_tpu.ops.grouped_lindblad import GroupedLindbladEngine
+
+    p_split, s1 = _grouped_lindblad_setup(ntime=256, linsolver="split",
+                                          iters=5)
+    assert isinstance(p_split.engine, GroupedLindbladEngine)
+    p_imr, _ = _grouped_lindblad_setup(ntime=256, linsolver="jacobi",
+                                       iters=10)
+    params = _rand_params(s1)
+    x1 = np.asarray(p_split.propagate_final(params))
+    x2 = np.asarray(p_imr.propagate_final(params))
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=1e-4)
+    # trace preserved to solver tolerance
+    tr = np.trace(x1[0])
+    np.testing.assert_allclose(tr.real, 1.0, atol=1e-6)
+
+
+def test_grouped_lindblad_split_gradient_fd():
+    problem, setup = _grouped_lindblad_setup(ntime=12, linsolver="split")
+    params = _rand_params(setup)
+    (J, _), g = jax.value_and_grad(problem.objective, has_aux=True)(
+        params, params)
+    obj = lambda p: float(problem.objective(p, params)[0])
+    rng = np.random.default_rng(5)
+    for i in rng.choice(setup.nparams, size=3, replace=False):
+        eps = 1e-6
+        e = np.zeros(setup.nparams)
+        e[i] = eps
+        fd = (obj(params + e) - obj(params - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=3e-5, atol=1e-10)
