@@ -78,11 +78,13 @@ def test_split_matches_expm_second_order():
         step = make_step_fn(rhs, dt, "IMR", linsolve_iters=10,
                             linsolver=linsolver,
                             gen_diag=-1j * jnp.asarray(h))
-        x = jnp.asarray(x0)
         c = jnp.ones((1, 1))
-        for _ in range(nt):
-            x = step(x, c)
-        return np.asarray(x)
+
+        @jax.jit
+        def sweep(x):
+            return jax.lax.fori_loop(0, nt, lambda _, y: step(y, c), x)
+
+        return np.asarray(sweep(jnp.asarray(x0)))
 
     errs = [np.linalg.norm(run(nt, "split") - xT_exact) for nt in (64, 128)]
     order = np.log2(errs[0] / errs[1])
@@ -201,11 +203,13 @@ def test_split_imr4_fourth_order():
         step = make_step_fn(rhs, dt, "IMR4", linsolve_iters=14,
                             linsolver="split",
                             gen_diag=-1j * jnp.asarray(h))
-        x = jnp.asarray(x0)
         c = jnp.ones((3, 1))
-        for _ in range(nt):
-            x = step(x, c)
-        return np.asarray(x)
+
+        @jax.jit
+        def sweep(x):
+            return jax.lax.fori_loop(0, nt, lambda _, y: step(y, c), x)
+
+        return np.asarray(sweep(jnp.asarray(x0)))
 
     errs = [np.linalg.norm(run(nt) - xT_exact) for nt in (16, 32)]
     order = np.log2(errs[0] / errs[1])
