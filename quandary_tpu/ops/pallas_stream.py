@@ -63,22 +63,42 @@ import os as _os
 _PRECISION_MODE = _os.environ.get("QTPU_PALLAS_PRECISION", "high")
 
 
+def _bf16_pair(a):
+    """bf16 hi/lo decomposition of an f32 operand (16 mantissa bits)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return ah, al
+
+
+def _dot_bf16(x, y):
+    # explicit DEFAULT: the package sets the global default matmul
+    # precision to 'highest', which Mosaic rejects on bf16 operands
+    # ("Bad lhs type")
+    return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
+def _prep_rhs(b):
+    """Pre-decompose a (reused) RHS operand for _dot: in 'high' mode the
+    bf16 hi/lo split is computed ONCE per kernel step instead of once per
+    dot — the per-dot conversion of the (P, P) Hamiltonian planes is
+    otherwise ~10% of the step's VPU work."""
+    if _PRECISION_MODE == "high":
+        return _bf16_pair(b)
+    return b
+
+
 def _dot(a, b):
+    """a @ b with controlled precision. b may be a raw f32 array or a
+    _prep_rhs pre-decomposed (hi, lo) pair ('high' mode)."""
     if _PRECISION_MODE == "high":
         # 3-pass bf16 emulation of an f32 matmul: a = ah + al with ah, al
         # bf16 (16 mantissa bits total), drop the al@bl term (~2^-16 rel.)
-        ah = a.astype(jnp.bfloat16)
-        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-        bh = b.astype(jnp.bfloat16)
-        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def d(x, y):    # explicit DEFAULT: the package sets the global
-            # default matmul precision to 'highest', which Mosaic rejects
-            # on bf16 operands ("Bad lhs type")
-            return jnp.dot(x, y, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.DEFAULT)
-
-        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+        ah, al = _bf16_pair(a)
+        bh, bl = b if isinstance(b, tuple) else _bf16_pair(b)
+        return _dot_bf16(ah, bh) + (_dot_bf16(ah, bl) + _dot_bf16(al, bh))
+    if isinstance(b, tuple):
+        raise TypeError("pre-decomposed operand outside 'high' mode")
     prec = {"default": jax.lax.Precision.DEFAULT,
             "highest": jax.lax.Precision.HIGHEST}[_PRECISION_MODE]
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
@@ -145,10 +165,12 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
 
     Hr = Hr_ref[0]
     Hi = Hi_ref[0]
+    HrT = _prep_rhs(Hr.T)
+    HiT = _prep_rhs(Hi.T)
 
     def matvec(vr, vi):  # T(v) = -i H v, rows: v @ H^T in planes
-        ar = _dot(vr, Hr.T) - _dot(vi, Hi.T)
-        ai = _dot(vr, Hi.T) + _dot(vi, Hr.T)
+        ar = _dot(vr, HrT) - _dot(vi, HiT)
+        ai = _dot(vr, HiT) + _dot(vi, HrT)
         return ai, -ar
 
     Bp = xr_ref.shape[0]
@@ -230,14 +252,19 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
         xpr, xpi = er * xpr - ei_ * xpi, er * xpi + ei_ * xpr
     a = dt / 2.0
 
+    HrT = _prep_rhs(Hr.T)
+    HiT = _prep_rhs(Hi.T)
+    Hrp = _prep_rhs(Hr)
+    Hip = _prep_rhs(Hi)
+
     def T(vr, vi):
-        ar = _dot(vr, Hr.T) - _dot(vi, Hi.T)
-        ai = _dot(vr, Hi.T) + _dot(vi, Hr.T)
+        ar = _dot(vr, HrT) - _dot(vi, HiT)
+        ai = _dot(vr, HiT) + _dot(vi, HrT)
         return ai, -ar
 
     def Tt(ur, ui):  # real transpose of T (no Hermiticity assumption)
-        return (_dot(ur, Hi) - _dot(ui, Hr),
-                _dot(ur, Hr) + _dot(ui, Hi))
+        return (_dot(ur, Hip) - _dot(ui, Hrp),
+                _dot(ur, Hrp) + _dot(ui, Hip))
 
     def acc_H(Hbr, Hbi, cr, ci, ur, ui):
         # cotangent (cr, ci) at T's output with input (ur, ui) -> H-plane cot
