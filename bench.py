@@ -145,7 +145,7 @@ def main():
         wait(spawn(pallas, "tpu"), tmo)
         recs = records()
         if any(r.get("metric") and r.get("device") != "cpu" for r in recs):
-            if i == 0 or best_final(recs) is None:
+            if i == 0:
                 # one confirmation run now that the cache is warm
                 wait(spawn(pallas, "tpu"), 600)
             break

@@ -108,7 +108,14 @@ int64_t qtpu_read_triplets(const char* path, int ncols_id,
     if (!f) return -1;
     int64_t n = 0;
     char line[512];
+    bool continuation = false;   // mid-line chunk of an over-long line
     while (n < maxn && fgets(line, sizeof line, f)) {
+        bool has_eol = strchr(line, '\n') != nullptr;
+        if (continuation) {      // skip the rest of an over-long line:
+            continuation = !has_eol;   // its fragments are not triplets
+            continue;
+        }
+        continuation = !has_eol;
         char* p = line;
         while (*p == ' ' || *p == '\t') p++;
         if (*p == '#' || *p == '\n' || *p == '\0') continue;

@@ -105,19 +105,25 @@ def read_triplets(path: str, ncols_id: int,
     """Sparse-triplet Hamiltonian file -> (ids (n, ncols_id) int64,
     vals (n,) complex128), or None if the native lib is unavailable.
     ncols_id = 2 for 'row col re im' (Hsys), 3 for 'osc row col re im'
-    (Hc). ~40x the Python line parser on large custom Hamiltonians."""
+    (Hc). ~40x the Python line parser on large custom Hamiltonians.
+    The capacity grows until the whole file fits (the C reader stops at
+    maxn, and a full buffer is indistinguishable from an exact fit —
+    silent truncation would corrupt the Hamiltonian)."""
     lib = get_lib()
     if lib is None:
         return None
-    ids = np.empty((maxn, ncols_id), dtype=np.int64)
-    vals = np.empty((maxn, 2), dtype=np.float64)
-    n = lib.qtpu_read_triplets(
-        path.encode(), ncols_id,
-        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), maxn)
-    if n < 0:
-        return None
-    return ids[:n].copy(), (vals[:n, 0] + 1j * vals[:n, 1])
+    while True:
+        ids = np.empty((maxn, ncols_id), dtype=np.int64)
+        vals = np.empty((maxn, 2), dtype=np.float64)
+        n = lib.qtpu_read_triplets(
+            path.encode(), ncols_id,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), maxn)
+        if n < 0:
+            return None
+        if n < maxn:
+            return ids[:n].copy(), (vals[:n, 0] + 1j * vals[:n, 1])
+        maxn *= 2
 
 
 def read_table(path: str, maxn: int) -> Optional[np.ndarray]:

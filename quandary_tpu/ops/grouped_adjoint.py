@@ -87,10 +87,12 @@ def _dC_contractions(engine: GroupedEngine, wr, wi, xr, xi, dt, c):
     SRi = jnp.imag(SR).astype(rdt)
     g = g + jnp.einsum("kmn,mn->k", SRr, Qi) + jnp.einsum("kmn,mn->k", SRi, Qr)
 
-    # diagonal cross-Kerr mask rides the constant slot 0
-    if engine.cross_diag is not None:
-        D = jnp.asarray(engine.cross_diag).astype(rdt)[None]
-        g = g.at[0].add(jnp.sum(D * (wr * xi - wi * xr)))
+    # Slot 0's coefficient derivative is the group stacks' constant term
+    # ONLY: the cross-group cross-Kerr mask is applied UNconditionally by
+    # apply_H_planes (not scaled by c[0]), so it contributes nothing to
+    # dH/dc_0. (c[0] is pinned to 1.0 by coeff_rows, so this component is
+    # annihilated downstream either way — but direct grads w.r.t. C must
+    # still be exact; pinned by test_dC_matches_ad_direct.)
 
     # cross-group JC pairs: H contribution z*(A X B^T) + conj(z)*(A^T X B)
     # with z = J(c_p + i c_q) => dH/dc_p = J(t1 + t2), dH/dc_q = iJ(t1 - t2)
@@ -100,11 +102,11 @@ def _dC_contractions(engine: GroupedEngine, wr, wi, xr, xi, dt, c):
         A = jnp.real(jnp.asarray(engine.crossA)[i]).astype(rdt)
         Bm = jnp.real(jnp.asarray(engine.crossB)[i]).astype(rdt)
         # <W, A X B^T> = sum conj(V1) o X, V1 = A^T W B
-        V1r = jnp.einsum("pi,bim,mq->bpq", A, wr, Bm)
-        V1i = jnp.einsum("pi,bim,mq->bpq", A, wi, Bm)
+        V1r = jnp.einsum("ip,bim,mq->bpq", A, wr, Bm)
+        V1i = jnp.einsum("ip,bim,mq->bpq", A, wi, Bm)
         # <W, A^T X B> = sum conj(V2) o X, V2 = A W B^T
-        V2r = jnp.einsum("ip,bim,qm->bpq", A, wr, Bm)
-        V2i = jnp.einsum("ip,bim,qm->bpq", A, wi, Bm)
+        V2r = jnp.einsum("pi,bim,qm->bpq", A, wr, Bm)
+        V2i = jnp.einsum("pi,bim,qm->bpq", A, wi, Bm)
         im1 = jnp.sum(V1r * xi - V1i * xr)
         re1 = jnp.sum(V1r * xr + V1i * xi)
         im2 = jnp.sum(V2r * xi - V2i * xr)
@@ -222,6 +224,10 @@ def make_grouped_adjoint_propagate(engine: GroupedEngine, dt: float,
 
             dc = _dC_contractions(engine, wr, wi, xm_r, xm_i, dt, c)
             if split:
+                # the split step has NO c[0] dependence (the stacks' slot 0
+                # is zeroed in V; the rotations are built from model
+                # constants) — zero the spurious slot-0 contraction
+                dc = dc.at[0].set(0.0)
                 # undo the leading rotation
                 x_prev_r, x_prev_i = _rot(planes, -1.0, x_prev_r, x_prev_i)
                 xbar_r, xbar_i = _rot(planes, -1.0, xbar_r, xbar_i)

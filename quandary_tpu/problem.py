@@ -712,7 +712,7 @@ class Problem:
         # Reversible O(1)-memory adjoint: closed systems, IMR family, no
         # multi-state penalties (dpdm needs a state history).
         use_reversible = (
-            s.adjoint in ("auto", "reversible")
+            s.adjoint in ("auto", "reversible", "reversible-ad")
             and not self.lindblad and not use_dpdm
             and s.timestepper.upper() in ("IMR", "IMR4", "IMR8"))
         if use_reversible:

@@ -29,7 +29,22 @@ REPS = 3
 
 
 def _fingerprint():
-    return f"cpu{os.cpu_count()}"
+    """Machine key for the committed baselines. Includes the CPU model so a
+    4-vCPU CI runner does not collide with the 4-core dev machine's key and
+    fail against a foreign machine's timings (it skips instead, or
+    rebaselines under QUANDARY_PERF_REBASE=1)."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    import hashlib
+    h = hashlib.sha1(model.encode()).hexdigest()[:8] if model else "unknown"
+    return f"cpu{os.cpu_count()}-{h}"
 
 
 def _check(metric: str, seconds: float):
