@@ -65,7 +65,7 @@ class GroupedLindbladEngine:
 
         # decay jumps: sqrt(g1)-weighted group-embedded lowering ops, one
         # stack per side; (g1 a) rho a^dag is applied with the rate folded in
-        self.jumpL, self.jumpR = [], []   # [(gamma, side_index)]
+        # (per-jump bookkeeping lives in _jump_sides: (side, idx, g1, k))
         jL, jR = [], []
         self._jump_sides = []
         for k in range(model.n_osc):
@@ -134,7 +134,6 @@ class GroupedLindbladEngine:
 
     def _commutator_side(self, c, X, row: bool):
         """H rho (row=True) or rho H (row=False) on the rank-5 view."""
-        rdt = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
         cc = c.astype(self.dtype)
         SL = jnp.asarray(self.stackL).astype(self.dtype)
         SR = jnp.asarray(self.stackR).astype(self.dtype)

@@ -93,7 +93,8 @@ class GroupedEngine:
                 stack[1 + Q + gk] += 1j * (a_g[k] - a_g[k].T)
             for idx, (k, l) in enumerate(coupling_pairs(Q)):
                 both_in = (offset <= k < offset + Qg) and (offset <= l < offset + Qg)
-                if both_in and abs(model.crosskerr[idx]) > 1e-14:
+                if both_in and idx < len(model.crosskerr) \
+                        and abs(model.crosskerr[idx]) > 1e-14:
                     stack[0] -= model.crosskerr[idx] * (
                         n_g[k - offset] @ n_g[l - offset])
             for j, (k, l) in enumerate(model.jc_pairs):
@@ -113,7 +114,8 @@ class GroupedEngine:
         levelsR = [np.diag(embed(number(dimsR[k]), k, dimsR)) for k in range(len(dimsR))]
         Dx = np.zeros((m1, m2))
         for idx, (k, l) in enumerate(coupling_pairs(Q)):
-            if k < s <= l and abs(model.crosskerr[idx]) > 1e-14:
+            if k < s <= l and idx < len(model.crosskerr) \
+                    and abs(model.crosskerr[idx]) > 1e-14:
                 Dx -= model.crosskerr[idx] * np.outer(levelsL[k], levelsR[l - s])
         self.cross_diag = Dx.astype(np.float32 if dtype == jnp.complex64 else np.float64) \
             if np.abs(Dx).max() > 0 else None
@@ -172,7 +174,8 @@ class GroupedEngine:
             terms = [(-float(model.crosskerr[idx]), levelsL[k],
                       levelsR[l - s])
                      for idx, (k, l) in enumerate(coupling_pairs(model.n_osc))
-                     if k < s <= l and abs(model.crosskerr[idx]) > 1e-14]
+                     if k < s <= l and idx < len(model.crosskerr)
+                     and abs(model.crosskerr[idx]) > 1e-14]
 
             @jax.jit
             def buildD():
@@ -309,7 +312,8 @@ def _group_ops_device(model: StructuredModel, dims_g, offset, dtype):
             add(1 + Q + gk, 1j * (a_g[k] - a_g[k].T))
         for idx, (k, l) in enumerate(coupling_pairs(Q)):
             both = (offset <= k < offset + Qg) and (offset <= l < offset + Qg)
-            if both and abs(model.crosskerr[idx]) > 1e-14:
+            if both and idx < len(model.crosskerr) \
+                    and abs(model.crosskerr[idx]) > 1e-14:
                 add(0, -float(model.crosskerr[idx])
                     * (n_g[k - offset] @ n_g[l - offset]))
         for j, (k, l) in enumerate(model.jc_pairs):

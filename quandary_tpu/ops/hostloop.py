@@ -82,36 +82,39 @@ class HostLoopRunner:
         prob = self.problem
         params = jnp.asarray(params)
 
-        # forward with host-side storage
-        Cfn = jax.jit(lambda p: prob.coeff_rows_mid(p))
+        # forward with HOST-side storage (storeFWD semantics): device_get
+        # each state so device memory stays O(1) in ntime — the whole point
+        # of this runner is problems whose trajectory cannot live in HBM
         C, C_vjp = jax.vjp(lambda p: prob.coeff_rows_mid(p), params)
         Cnp = np.asarray(jax.device_get(C))
         step = self._jit_step()
         x = jnp.asarray(prob.x0)
-        states = [x]
+        states = [np.asarray(jax.device_get(x))]
         for n in range(prob.setup.ntime):
             x = step(x, jnp.asarray(Cnp[n]))
-            states.append(x)
+            states.append(np.asarray(jax.device_get(x)))
         xT = x
 
         # terminal loss and cotangents
         loss, loss_vjp = jax.vjp(lambda xx, pp: loss_on_final(xx, pp), xT, params)
         xbar, pbar = loss_vjp(jnp.ones(()))
 
-        # per-step VJP, jitted once
-        prob_step = prob.step_fn
+        # per-step VJP, jitted once — through _wrap_with_data so the
+        # engine's big operator arrays are threaded as device-resident
+        # ARGUMENTS (embedding them as trace constants is exactly the
+        # remote-compile failure mode this runner exists to avoid)
+        if self._step_vjp is None:
+            def step_vjp(x, c, ybar):
+                _, vjp = jax.vjp(prob.step_fn, x, c)
+                return vjp(ybar)
 
-        def step_for_vjp(x, c):
-            return prob_step(x, c)
-
-        @jax.jit
-        def step_vjp(x, c, ybar):
-            _, vjp = jax.vjp(step_for_vjp, x, c)
-            return vjp(ybar)
+            self._step_vjp = prob._wrap_with_data(step_vjp)
+        step_vjp = self._step_vjp
 
         Cbar = np.zeros_like(Cnp)
         for n in range(prob.setup.ntime - 1, -1, -1):
-            xbar, cbar = step_vjp(states[n], jnp.asarray(Cnp[n]), xbar)
+            xbar, cbar = step_vjp(jnp.asarray(states[n]),
+                                  jnp.asarray(Cnp[n]), xbar)
             Cbar[n] = np.asarray(cbar)
 
         # chain through the coefficient rows

@@ -570,7 +570,14 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         (x0_bar,) = pk_vjp((gr, gi))
         C_bar = (jnp.einsum("npq,kpq->nk", Hbr, Sr)
                  + jnp.einsum("npq,kpq->nk", Hbi, Si)).astype(C.dtype)
-        return jnp.zeros_like(Sr), jnp.zeros_like(Si), x0_bar, C_bar
+        # operator-stack cotangents: Hr(n) = sum_k C[n,k] Sr[k], so
+        # dL/dSr[k] = sum_n C[n,k] Hb(n) — needed when the stack itself is
+        # parameter-dependent (Hamiltonian calibration, sampled-model
+        # ensembles); previously silently zero
+        Cf = C.astype(jnp.float32)
+        Sr_bar = jnp.einsum("nk,npq->kpq", Cf, Hbr).astype(Sr.dtype)
+        Si_bar = jnp.einsum("nk,npq->kpq", Cf, Hbi).astype(Si.dtype)
+        return Sr_bar, Si_bar, x0_bar, C_bar
 
     propagate.defvjp(fwd2, bwd2)
     return propagate

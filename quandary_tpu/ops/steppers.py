@@ -159,6 +159,10 @@ def make_step_fn(rhs: Callable, dt: float, timestepper: str = "IMR",
     gammas = stage_gammas(timestepper)
     explicit = timestepper.upper() == "EE"
     split = linsolver == "split"
+    if linsolver == "jacobi" and gen_diag is None:
+        # fail loudly: silently dropping to plain Neumann would reintroduce
+        # exactly the stiff-mode blow-up the caller asked to avoid
+        raise ValueError("linsolver='jacobi' requires gen_diag")
     if split:
         if gen_diag is None:
             raise ValueError("linsolver='split' requires gen_diag")

@@ -165,7 +165,8 @@ class TensorEngine:
                    - model.selfkerr[k] / 2.0 * self.levels[k] * (self.levels[k] - 1.0)
                    for k in range(Q)]
         self.ck_pairs = [(idx, kl) for idx, kl in enumerate(coupling_pairs(Q))
-                         if abs(model.crosskerr[idx]) > 1e-14]
+                         if idx < len(model.crosskerr)
+                         and abs(model.crosskerr[idx]) > 1e-14]
 
     def gen_diag(self):
         """Elementwise generator diagonal (numpy, state-shaped): see

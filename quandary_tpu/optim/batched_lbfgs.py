@@ -94,6 +94,16 @@ def batched_lbfgsb(
         # descent safeguard: fall back to -pg
         desc = jnp.einsum("en,en->e", d, pg)
         d = jnp.where((desc < 0)[:, None], d, -pg)
+        # first-step cap (lbfgsb._first_step_cap semantics): with no
+        # curvature memory d = -g is unscaled; if it dwarfs the box, every
+        # backtracked trial projects onto the same corner, Armijo never
+        # holds, and the candidate silently never moves. Cap the direction
+        # so the unit trial step crosses at most a quarter of the box.
+        width = jnp.where(ub - lb < 1e9, ub - lb, jnp.inf)
+        dmax = jnp.max(jnp.abs(d) / jnp.maximum(width, 1e-300)[None, :],
+                       axis=1)
+        cap = jnp.minimum(1.0, 0.25 / jnp.maximum(dmax, 1e-300))
+        d = jnp.where((count == 0)[:, None], cap[:, None] * d, d)
 
         # parallel backtracking: every candidate's step lengths evaluated in
         # a batched objective, SEQUENCED over the step-length axis with

@@ -763,7 +763,13 @@ class Problem:
                     if use_pen else None
                 if s.adjoint == "reversible-ad":
                     # generic reversible adjoint (AD through the unrolled
-                    # stage solve) — kept as a cross-check path
+                    # stage solve) — kept as a cross-check path. The split
+                    # step recomputes its rotation planes inside the scan
+                    # body here (planes=None): precomputing them at this
+                    # scope would leak outer tracers into the custom-VJP
+                    # backward closure. Acceptable for a cross-check path;
+                    # the production split adjoint (grouped_adjoint.py)
+                    # computes the planes once per propagate/bwd trace.
                     from .ops.grouped_rhs import (make_real_imr_step,
                                                   make_real_split_step)
                     mk = make_real_split_step if use_split \

@@ -366,3 +366,39 @@ def test_problem_stiff_jacobi_pallas_parity():
     J1, g1 = outs[True]
     assert abs(J1 - J0) < 5e-6 * max(1.0, abs(J0))
     assert np.abs(g1 - g0).max() < 5e-5 * max(np.abs(g0).max(), 1e-12)
+
+
+def test_stack_cotangents_fd():
+    """The custom VJP's operator-stack cotangents (previously silently
+    zero) must match finite differences — needed when the stack is
+    parameter-dependent (Hamiltonian calibration, sampled-model
+    ensembles)."""
+    rng = np.random.default_rng(9)
+    K, N, B, ntime, dt, iters = 3, 8, 2, 7, 0.03, 5
+    stack = _random_hermitian_stack(rng, K, N)
+    C = jnp.asarray(rng.normal(size=(ntime, K)).astype(np.float32) * 0.5)
+    x0 = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
+          ).astype(np.complex64)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    loss = _loss_pair(rng, B, N, ntime)
+
+    prop = make_stream_propagate(stack, dt, iters, interpret=True)
+
+    def f(Sr_, Si_):
+        xT, hist = prop(Sr_, Si_, jnp.asarray(x0), C)
+        return loss(xT, hist)
+
+    gSr, gSi = jax.grad(f, argnums=(0, 1))(Sr, Si)
+    assert float(jnp.abs(gSr).max()) > 0.0
+    eps = 1e-3
+    for arr, g, name in ((Sr, gSr, "Sr"), (Si, gSi, "Si")):
+        for _ in range(3):
+            k = rng.integers(K)
+            i, j = rng.integers(N), rng.integers(N)
+            e = jnp.zeros_like(arr).at[k, i, j].set(eps)
+            fd = (float(f(*(arr + e, Si) if name == "Sr" else (Sr, arr + e)))
+                  - float(f(*(arr - e, Si) if name == "Sr"
+                            else (Sr, arr - e)))) / (2 * eps)
+            got = float(g[k, i, j])
+            assert abs(got - fd) < 2e-2 * max(1.0, abs(fd)), \
+                (name, k, i, j, got, fd)
