@@ -559,10 +559,10 @@ class Quandary:
 
         history = []
         if runtype == "optimization":
-            bounds_ghz = [[(m / 1000.0) if len(np.atleast_1d(self.maxctrl_MHz)) > 0 else 1e12]
-                          for m in (np.atleast_1d(self.maxctrl_MHz)
-                                    if len(np.atleast_1d(self.maxctrl_MHz)) > 0
-                                    else [1e15] * len(self.Ne))]
+            bounds_ghz = [[m / 1000.0] for m in
+                          (np.atleast_1d(self.maxctrl_MHz)
+                           if len(np.atleast_1d(self.maxctrl_MHz)) > 0
+                           else [1e15] * len(self.Ne))]
             lb, ub = build_bounds(setup.oscillators, bounds_ghz)
             res = run_optimization(
                 problem, params0, lb, ub, maxiter=self.maxiter,
@@ -609,11 +609,23 @@ class Quandary:
 
         expected = [[] for _ in range(len(self.Ne))]
         population = [[] for _ in range(len(self.Ne))]
-        ninits = self._ninit if not lind else int(np.sqrt(self._ninit))
+        # Lindblad: observables are reported for the DIAGONAL (physical)
+        # initial density matrices. Their file ids stride by the SELECTED
+        # subsystem basis size nsub (i*nsub + i, initialconditions.py) —
+        # which is sqrt(B) for 'basis' batches and B for 'diagonal'-style
+        # batches; using prod(Ne) here broke subset initialconditions.
+        if not lind:
+            ninits = problem.ninit
+        elif setup.initcond_type == "basis":
+            ninits = int(round(np.sqrt(problem.ninit)))
+        else:
+            ninits = problem.ninit
         # trajectory outputs per initial condition, in file-id order
         initids = problem.initids
+        reds = []
         for iosc in range(len(self.Ne)):
             red = np.asarray(slv.reduced_population(jnp.asarray(pop_full), dims, iosc))
+            reds.append(red)
             lv = np.arange(dims[iosc])
             for iinit in range(ninits):
                 want_id = iinit if not lind else iinit * ninits + iinit
@@ -649,7 +661,7 @@ class Quandary:
             out_io.write_controls(datadir, ts_out, p, q, flab)
             out_io.write_optim_history(os.path.join(datadir, "optim_history.dat"), history)
             for iosc in range(len(self.Ne)):
-                red = np.asarray(slv.reduced_population(jnp.asarray(pop_full), dims, iosc))
+                red = reds[iosc]
                 lv = np.arange(dims[iosc])
                 for b, initid in enumerate(initids):
                     out_io.write_expected_energy(datadir, iosc, initid, ts_out,
@@ -826,12 +838,24 @@ class Quandary:
             "Penalty-TotalEnergy": hist[:, 9],
         }
 
-        ninits = self._ninit if not self._lindblad_solver else int(np.sqrt(self._ninit))
+        # discover the written initial-condition ids from the directory
+        # instead of recomputing them from prod(Ne) (subset
+        # initialconditions stride by the SELECTED basis size); for
+        # Lindblad basis runs (a perfect-square id count) keep only the
+        # diagonal (physical) ids i*(nsub+1), matching the reference
+        import glob as _glob
+        import re as _re
         expectedEnergy = [[] for _ in range(len(self.Ne))]
         population = [[] for _ in range(len(self.Ne))]
+        ids = sorted({int(m.group(1)) for f in _glob.glob(
+            os.path.join(datadir, "expected0.iinit*.dat"))
+            for m in [_re.search(r"iinit(\d+)\.dat$", f)] if m})
+        if self._lindblad_solver and ids:
+            nsub = int(round(np.sqrt(len(ids))))
+            if nsub * nsub == len(ids):
+                ids = [i * (nsub + 1) for i in range(nsub)]
         for iosc in range(len(self.Ne)):
-            for iinit in range(ninits):
-                iid = iinit if not self._lindblad_solver else iinit * ninits + iinit
+            for iid in ids:
                 x = _load(f"expected{iosc}.iinit{iid:04d}.dat")
                 if x is not None:
                     expectedEnergy[iosc].append(x[:, 1])

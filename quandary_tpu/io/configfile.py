@@ -63,8 +63,14 @@ class Config(dict):
 
 
 def copy_last(vec: List, n: int) -> List:
-    """Fill by repeating the last element (util.hpp:267 copyLast)."""
+    """Fill by repeating the last element (util.hpp:267 copyLast).
+    An empty vector (a present-but-blank config value) raises a clear
+    error instead of IndexError deep inside."""
     vec = list(vec)
+    if not vec and n > 0:
+        raise ValueError(
+            "empty value list where at least one entry is required "
+            "(a config key is present but blank)")
     while len(vec) < n:
         vec.append(vec[-1])
     return vec[:n]
@@ -114,6 +120,30 @@ def _init_params_for_osc(osc: OscillatorControl, init_tokens: List[str],
     vals: List[float] = []
     idini = 0
     tokens = list(init_tokens)
+
+    # ONE uniform stream per oscillator, consumed sequentially across the
+    # random blocks: the reference copies the seeded engine into each
+    # oscillator (pass-by-value, main.cpp:240) and draws from that single
+    # copy across all its segments/carriers (oscillator.cpp:164-189).
+    # Restarting per segment/carrier block would make every carrier's
+    # random coefficients byte-identical.
+    n_random = 0
+    scan = 0
+    for seg in osc.segments:
+        mode = tokens[scan] if len(tokens) > scan else "constant"
+        if mode == "random":
+            n_random += nf * seg.nparams_per_carrier()
+        scan += 2
+    pool = None
+    cursor = 0
+    if n_random:
+        from .native import mt19937_uniform
+        pool = mt19937_uniform(int(rand_seed or 0), n_random) \
+            if rand_seed is not None else None
+        if pool is None:
+            pool = np.random.default_rng(rand_seed).uniform(
+                0.0, 1.0, n_random)
+
     for seg in osc.segments:
         if len(tokens) < idini + 2:
             tokens.append("constant")
@@ -130,11 +160,8 @@ def _init_params_for_osc(osc: OscillatorControl, init_tokens: List[str],
                     v = min(max(v, 0.0), 1.0)
                 block = [v] * npc
             elif mode == "random":
-                from .native import mt19937_uniform
-                u = mt19937_uniform(int(rand_seed or 0), npc) \
-                    if rand_seed is not None else None
-                if u is None:
-                    u = np.random.default_rng(rand_seed).uniform(0.0, 1.0, npc)
+                u = pool[cursor:cursor + npc]
+                cursor += npc
                 r = u * initval
                 block = list(2.0 * r - initval)
             else:

@@ -57,12 +57,12 @@ def write_hamiltonian_sys(path: str, Hsys: np.ndarray) -> None:
 def write_hamiltonian_ctrl(path: str, Hc_re, Hc_im) -> None:
     """hamiltonian_Hc.dat: 'osc row col re im' (quandary.py:608-617)."""
     with open(path, "w", newline="\n") as f:
+        f.write("# oscillator row col Hc_real Hc_imag \n")
         for iosc in range(max(len(Hc_re), len(Hc_im))):
             re = np.asarray(Hc_re[iosc]) if iosc < len(Hc_re) else 0.0
             im = np.asarray(Hc_im[iosc]) if iosc < len(Hc_im) else 0.0
             Hc = np.asarray(re) + 1j * np.asarray(im)
             nz = np.nonzero(Hc)
-            f.write("# oscillator row col Hc_real Hc_imag \n")
             for i, j in zip(*nz):
                 v = complex(Hc[i, j])
                 f.write(f"{iosc} {i} {j} {v.real:.13e} {v.imag:.13e}\n")

@@ -112,6 +112,12 @@ def read_triplets(path: str, ncols_id: int,
     lib = get_lib()
     if lib is None:
         return None
+    # size the first buffer from the file itself (a triplet line is at
+    # least ~8 bytes) instead of always allocating the 4M-entry maximum
+    try:
+        maxn = min(maxn, max(64, os.path.getsize(path) // 8 + 1))
+    except OSError:
+        return None
     while True:
         ids = np.empty((maxn, ncols_id), dtype=np.int64)
         vals = np.empty((maxn, 2), dtype=np.float64)

@@ -30,7 +30,7 @@ def _init_grid(n_panels: int):
     nrows = -(-n_panels // ncols)
     fig, axes = plt.subplots(
         nrows, ncols, squeeze=False,
-        figsize=(4.8 * nrows, 3.6 * nrows))
+        figsize=(4.8 * ncols, 3.6 * nrows))
     flat = [ax for row in axes for ax in row]
     for ax in flat[n_panels:]:
         ax.set_visible(False)
@@ -140,8 +140,10 @@ def plot_results_1osc(myconfig, p, q, expectedEnergy, population):
     ax[0, 2].legend()
     ax[0, 2].grid()
 
-    # bottom row: populations, one panel per initial condition
-    for iinit, pops in enumerate(population):
+    # bottom row: populations, one panel per initial condition (the grid
+    # has 3 bottom panels; additional initial conditions wrap into hidden
+    # axes rather than indexing out of bounds)
+    for iinit, pops in enumerate(population[:3]):
         for lvl in range(myconfig.Ne[0]):
             ax[1, iinit].plot(t, pops[lvl], label=f"|{lvl}>")
         ax[1, iinit].set(xlabel="Time (ns)", ylabel="Population",

@@ -39,13 +39,21 @@ from .utils.splines import ControlEvalPlan, OscillatorControl, build_control_pla
 def _relay_retry(fn, attempts: int = 7):
     """Run a device-touching thunk with exponential backoff: remote-attached
     devices (TPU behind a relay tunnel) transiently reject requests under
-    load/rapid sequences; a wait and retry recovers."""
+    load/rapid sequences; a wait and retry recovers. Only runtime/backend
+    errors are retried — programming errors (TypeError/ValueError/...)
+    surface immediately instead of being re-run for two minutes."""
     import time
+
+    def _transient(e: Exception) -> bool:
+        name = type(e).__name__
+        return isinstance(e, (OSError, RuntimeError)) or \
+            "RuntimeError" in name or "XlaRuntime" in name
+
     for a in range(attempts):
         try:
             return fn()
-        except Exception:  # noqa: BLE001 - relay errors are opaque
-            if a == attempts - 1:
+        except Exception as e:  # noqa: BLE001 - relay errors are opaque
+            if a == attempts - 1 or not _transient(e):
                 raise
             time.sleep(2.0 ** a)
 

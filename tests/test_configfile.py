@@ -85,3 +85,32 @@ def test_structured_engine_matches_dense(tmp_path):
     x1 = np.asarray(p1.propagate_final(params))
     x2 = np.asarray(p2.propagate_final(params))
     np.testing.assert_allclose(x1, x2, rtol=1e-10, atol=1e-12)
+
+
+def test_random_init_one_stream_per_oscillator(tmp_path):
+    """Random control init draws ONE mt19937 stream per oscillator,
+    consumed sequentially across segments/carriers (the reference copies
+    the seeded engine into each oscillator and draws from that copy,
+    main.cpp:240 / oscillator.cpp:164-189). Restarting per carrier block
+    would make all carriers' coefficients byte-identical."""
+    from quandary_tpu.io.native import mt19937_uniform
+
+    p = tmp_path / "t.cfg"
+    p.write_text(BASE.replace("carrier_frequency0 = 0.0",
+                              "carrier_frequency0 = 0.0, 0.1")
+                 .replace("control_initialization0 = constant, 0.001",
+                          "control_initialization0 = random, 0.01")
+                 + "rand_seed = 77\ncontrol_enforceBC = false\n")
+    from quandary_tpu.io.configfile import Config, setup_from_config
+    cfg = Config.read(str(p))
+    setup, spec = setup_from_config(cfg, str(tmp_path))
+    osc = setup.oscillators[0]
+    npc = osc.segments[0].nparams_per_carrier()
+    vals = np.asarray(spec.params0)
+    b0, b1 = vals[:npc], vals[npc:2 * npc]
+    assert not np.allclose(b0, b1), "carrier blocks must differ"
+    u = mt19937_uniform(77, 2 * npc)
+    if u is not None:  # native lib available: check stream continuity
+        amp = 0.01 * 2 * np.pi
+        np.testing.assert_allclose(np.concatenate([b0, b1]),
+                                   2.0 * u * amp - amp, rtol=1e-12)
