@@ -220,8 +220,9 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
 
 
 def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
-              gTr_ref, gTi_ref, gr_ref, gi_ref, Hbr_ref, Hbi_ref,
-              ks_refs=None, *, dt, iters, jac, split):
+              gTr_ref, gTi_ref, x0r_ref, x0i_ref,
+              gr_ref, gi_ref, Hbr_ref, Hbi_ref,
+              ks_refs=None, *, nsteps, dt, iters, jac, split):
     """Exact real-arithmetic transpose of one computed step (the grid runs
     steps in REVERSE order via the index maps). For the split stepper the
     rotation transposes to its inverse (E^T = E^{-1}): state cotangent AND
@@ -238,8 +239,13 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
 
     Hr = Hr_ref[0]
     Hi = Hi_ref[0]
-    xpr = xpr_ref[0]
-    xpi = xpi_ref[0]
+    # pre-step state: the SHIFTED history block hist[t-1] (index map
+    # n-2-i, clamped); at the last grid step (t = 0) it is x0 — selected
+    # here instead of materializing a concatenated [x0; hist[:-1]] copy of
+    # the whole history in HBM
+    first = i == nsteps - 1
+    xpr = jnp.where(first, x0r_ref[:], xpr_ref[0])
+    xpi = jnp.where(first, x0i_ref[:], xpi_ref[0])
     gr = gr_ref[:] + jr_ref[0]
     gi = gi_ref[:] + ji_ref[0]
     if split is not None:
@@ -266,14 +272,18 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
         return (_dot(ur, Hip) - _dot(ui, Hrp),
                 _dot(ur, Hrp) + _dot(ui, Hip))
 
-    def acc_H(Hbr, Hbi, cr, ci, ur, ui):
-        # cotangent (cr, ci) at T's output with input (ur, ui) -> H-plane cot
-        Hbr = Hbr + (_dot(ui.T, cr).T - _dot(ur.T, ci).T)
-        Hbi = Hbi + (_dot(ur.T, cr).T + _dot(ui.T, ci).T)
-        return Hbr, Hbi
+    # H-plane cotangent pairs (c at T's output, u at T's input). The
+    # per-pair outer products sum as ONE block matmul over the row-stacked
+    # pairs (sum_j u_j^T c_j = [u_1; ...]^T [c_1; ...]) — 4 dots for the
+    # whole step instead of 4 per pair, on the instruction-bound small-N
+    # regime.
+    accs = []
 
-    Hbr = jnp.zeros_like(Hr)
-    Hbi = jnp.zeros_like(Hi)
+    def acc_H(_hbr, _hbi, cr, ci, ur, ui):
+        accs.append((cr, ci, ur, ui))
+        return _hbr, _hbi
+
+    Hbr = Hbi = None
     bbr = jnp.zeros_like(gr)
     bbi = jnp.zeros_like(gi)
     kbr = dt * gr
@@ -350,15 +360,19 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
         bbi = bbi + ui
 
     # b = T(x_pre): route b-bar into the pre-state and the H planes
-    Hbr, Hbi = acc_H(Hbr, Hbi, bbr, bbi, xpr, xpi)
+    acc_H(None, None, bbr, bbi, xpr, xpi)
     tr, ti = Tt(bbr, bbi)
     outr, outi = gr + tr, gi + ti
     if split is not None:
         outr, outi = rot_m(outr, outi)   # leading rotation's transpose
     gr_ref[:] = outr
     gi_ref[:] = outi
-    Hbr_ref[0] = Hbr
-    Hbi_ref[0] = Hbi
+    Cr = jnp.concatenate([p[0] for p in accs], axis=0)
+    Ci = jnp.concatenate([p[1] for p in accs], axis=0)
+    UrT = jnp.concatenate([p[2] for p in accs], axis=0).T
+    UiT = jnp.concatenate([p[3] for p in accs], axis=0).T
+    Hbr_ref[0] = (_dot(UiT, Cr) - _dot(UrT, Ci)).T
+    Hbi_ref[0] = (_dot(UrT, Cr) + _dot(UiT, Ci)).T
 
 
 def make_stream_propagate(stack, dt: float, iters: int = 10,
@@ -485,10 +499,15 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
                             **vmem)
         revs = pl.BlockSpec((1, Bp, P),
                             lambda i, n=nsteps: (n - 1 - i, 0, 0), **vmem)
+        # pre-step states: hist shifted by one (clamped at block 0; the
+        # i = n-1 read is overridden by x0 in the body)
+        revp = pl.BlockSpec(
+            (1, Bp, P),
+            lambda i, n=nsteps: (jnp.maximum(n - 2 - i, 0), 0, 0), **vmem)
         full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
         row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
-        in_specs = [rev3, rev3, revs, revs, revs, revs, full, full] \
-            + [row] * n_rows
+        in_specs = [rev3, rev3, revp, revp, revs, revs, full, full,
+                    full, full] + [row] * n_rows
         if store_iters:
             revks = pl.BlockSpec((1, iters * Bp, P),
                                  lambda i, n=nsteps: (n - 1 - i, 0, 0),
@@ -496,14 +515,14 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
             in_specs += [revks, revks]
 
         def body(*refs):
-            Hr, Hi, xpr, xpi, jr, ji, gTr, gTi = refs[:8]
-            jac, split = _split_rows(refs[8:8 + n_rows])
-            rest = refs[8 + n_rows:]
+            Hr, Hi, xpr, xpi, jr, ji, gTr, gTi, x0r, x0i = refs[:10]
+            jac, split = _split_rows(refs[10:10 + n_rows])
+            rest = refs[10 + n_rows:]
             ks_refs = rest[:2] if store_iters else None
             gr, gi, Hbr, Hbi = rest[2:] if store_iters else rest
-            _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
-                      gr, gi, Hbr, Hbi, ks_refs, dt=dt, iters=iters,
-                      jac=jac, split=split)
+            _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi, x0r, x0i,
+                      gr, gi, Hbr, Hbi, ks_refs, nsteps=nsteps, dt=dt,
+                      iters=iters, jac=jac, split=split)
 
         return pl.pallas_call(
             body,
@@ -550,10 +569,6 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         _, h_vjp = jax.vjp(lambda a, b: _unpack_hist(a, b, B, dtype), hr, hi)
         jr, ji = h_vjp(hist_bar)
 
-        # pre-step states: pre[t] = hist[t-1], pre[0] = x0
-        pre_r = jnp.concatenate([x0r[None], hr[:-1]])
-        pre_i = jnp.concatenate([x0i[None], hi[:-1]])
-
         # incoming cotangent of the FINAL state (plane form)
         def unpack_xT(a, b):
             return (a[:B, :N] + 1j * b[:B, :N]).astype(dtype)
@@ -561,7 +576,7 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         _, u_vjp = jax.vjp(unpack_xT, hr[-1], hi[-1])
         gTr, gTi = u_vjp(xT_bar)
 
-        args = (Hr, Hi, pre_r, pre_i, jr, ji, gTr, gTi) + _row_args()
+        args = (Hr, Hi, hr, hi, jr, ji, gTr, gTi, x0r, x0i) + _row_args()
         if store_iters:
             args = args + tuple(ks)
         gr, gi, Hbr, Hbi = _bwd_call(ntime, Bp)(*args)
