@@ -962,6 +962,27 @@ class Problem:
         vg = jax.value_and_grad(self.objective, has_aux=True)
         return self._wrap_with_data(jax.vmap(vg, in_axes=(0, None)))
 
+    def build_ensemble_sweeps(self):
+        """f(Ps, params_ref) -> scalar consuming Ps.shape[0] PIPELINED
+        ensemble gradient sweeps in one jit call (each a vmapped
+        value_and_grad over Ps.shape[1] candidates; the scalar sums J and
+        the gradients so nothing can be dead-code-eliminated). This is the
+        throughput-probe entry point: one dispatch + one synchronous fetch
+        measures chip rate without charging a remote link's round-trip to
+        every repetition."""
+        vg = jax.value_and_grad(self.objective, has_aux=True)
+
+        def reps(Ps, params_ref):
+            def body(acc, P):
+                (J, _), g = jax.vmap(vg, in_axes=(0, None))(P, params_ref)
+                # cast: under x64 the objective promotes to f64 while the
+                # carry is the setup's real dtype
+                return (acc + jnp.sum(J) + jnp.sum(g)).astype(acc.dtype), None
+            out, _ = jax.lax.scan(body, jnp.zeros((), self.rdtype), Ps)
+            return out
+
+        return self._wrap_with_data(reps)
+
     def propagate_final(self, params):
         """Forward-only propagation; returns final states (B, ...)."""
         if self.time_parallel:

@@ -110,3 +110,28 @@ def test_checkpoint_resume(tmp_path):
     assert state["it"] >= 1
     res2 = minimize_lbfgsb(fg, x0, lb, ub, maxiter=10, resume_state=state)
     assert res2.f <= res1.f + 1e-12
+
+
+def test_build_ensemble_sweeps_matches_percall():
+    """The pipelined throughput probe (scan of vmapped value_and_grad inside
+    one jit) must equal the sum of per-call ensemble results."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from __graft_entry__ import _build_problem
+
+    problem, setup = _build_problem(ntime=10, T=1.0)
+    rng = np.random.default_rng(2)
+    n, E = 3, 4
+    Ps = jnp.asarray(rng.normal(size=(n, E, setup.nparams)) * 0.02,
+                     dtype=jnp.float32)
+    ref = jnp.zeros((setup.nparams,), jnp.float32)
+
+    total = float(problem.build_ensemble_sweeps()(Ps, ref))
+
+    evg = problem.build_ensemble_value_and_grad()
+    want = 0.0
+    for i in range(n):
+        (J, _), g = evg(Ps[i], ref)
+        want += float(jnp.sum(J) + jnp.sum(g))
+    np.testing.assert_allclose(total, want, rtol=5e-5)
