@@ -84,10 +84,13 @@ def _random_setup(rng):
         gamma_penalty_variation=float(rng.uniform(0, 0.05)),
         time_parallel=bool(rng.integers(0, 2)) and "auto" or False,
         adjoint=["auto", "remat"][int(rng.integers(0, 2))],
+        # a third of the draws force the diagonally-split stepper so the
+        # fuzz covers split x {engines, objectives, penalties, initconds}
+        linsolver=["neumann", "neumann", "split"][int(rng.integers(0, 3))],
     )
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_fd_gradient(seed):
     rng = np.random.default_rng(1000 + seed)
     setup = _random_setup(rng)
