@@ -57,6 +57,7 @@ def _run_case(tmp_path, name, cfgname=None, patterns=("*.dat",),
     assert compared > 0
 
 
+@pytest.mark.slow
 def test_axc_simulation(tmp_path):
     """Lindblad forward simulation, 3x20 levels, Jmeasure + penalties
     (tests/regression/AxC). Compares trajectories and the objective row."""
@@ -65,6 +66,7 @@ def test_axc_simulation(tmp_path):
                         "optim_history.dat"))
 
 
+@pytest.mark.slow
 def test_axc_grad(tmp_path):
     """AxC_grad — Lindblad full gradient (runtype=gradient, collapse both,
     pure-state init; tests/regression/test_cases.json:13-22). The reference
@@ -106,6 +108,7 @@ def test_axc_grad_schroedinger(tmp_path):
               patterns=("grad.dat", "rho_*.dat", "optim_history.dat"))
 
 
+@pytest.mark.slow
 def test_axc_grad_init_basis0(tmp_path):
     """Lindblad discrete adjoint, basis initial conditions spanned in
     oscillator 0 only, vs golden grad.dat."""
