@@ -65,6 +65,17 @@ def shard_problem(problem, mesh: Mesh, shard_hilbert: bool = False):
         # runs use the XLA engines, which GSPMD partitions
         problem.use_pallas = False
 
+    if jax.process_count() > 1:
+        # MULTI-PROCESS (multi-host): a jitted function may not close over
+        # arrays spanning non-addressable devices, so the eager global
+        # device_puts below are illegal. Keep everything host-side: small
+        # arrays embed as by-value constants (legal on every process) and
+        # get their mesh placement from the in-trace sharding constraints
+        # (Problem._shard_state); big arrays are threaded as arguments with
+        # mesh shardings by Problem._wrap_with_data — use the build_*
+        # entry points, not a direct jit of problem.objective.
+        return problem
+
     state_spec = problem.state_sharding_spec()
     problem.x0 = jax.device_put(problem.x0, NamedSharding(mesh, state_spec))
     if problem.target is not None:
