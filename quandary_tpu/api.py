@@ -609,30 +609,31 @@ class Quandary:
 
         expected = [[] for _ in range(len(self.Ne))]
         population = [[] for _ in range(len(self.Ne))]
-        # Lindblad: observables are reported for the DIAGONAL (physical)
-        # initial density matrices. Their file ids stride by the SELECTED
-        # subsystem basis size nsub (i*nsub + i, initialconditions.py) —
-        # which is sqrt(B) for 'basis' batches and B for 'diagonal'-style
-        # batches; using prod(Ne) here broke subset initialconditions.
-        if not lind:
-            ninits = problem.ninit
-        elif setup.initcond_type == "basis":
-            ninits = int(round(np.sqrt(problem.ninit)))
-        else:
-            ninits = problem.ninit
-        # trajectory outputs per initial condition, in file-id order
+        # Observables are reported per PHYSICAL initial state, selected
+        # directly from problem.initids (the file ids). Only the Lindblad
+        # 'basis' batch contains unphysical entries (the off-diagonal
+        # B_kj mixtures): keep its diagonal ids i*(nsub+1). Every other
+        # batch ('diagonal' [i*(nsub+1)], '3states' [1..3], 'Nplus1'
+        # [0..N], pure/file/ensemble [0], Schroedinger basis [0..n-1]) is
+        # entirely physical — reconstructing a stride formula per type
+        # here used to drop all '3states'/'Nplus1' observables.
         initids = problem.initids
+        if lind and setup.initcond_type == "basis":
+            nsub = int(round(np.sqrt(problem.ninit)))
+            diag_ids = {i * (nsub + 1) for i in range(nsub)}
+            sel = [(b, iid) for b, iid in enumerate(initids)
+                   if iid in diag_ids]
+        else:
+            sel = list(enumerate(initids))
+        sel.sort(key=lambda bi: bi[1])      # file-id order
         reds = []
         for iosc in range(len(self.Ne)):
             red = np.asarray(slv.reduced_population(jnp.asarray(pop_full), dims, iosc))
             reds.append(red)
             lv = np.arange(dims[iosc])
-            for iinit in range(ninits):
-                want_id = iinit if not lind else iinit * ninits + iinit
-                if want_id in initids:
-                    b = initids.index(want_id)
-                    population[iosc].append(red[:, b, :].T)
-                    expected[iosc].append(red[:, b, :] @ lv)
+            for b, _iid in sel:
+                population[iosc].append(red[:, b, :].T)
+                expected[iosc].append(red[:, b, :] @ lv)
 
         # uT (quandary.py:853-873): final states, vectorized columns
         xT = traj[-1]
@@ -841,8 +842,13 @@ class Quandary:
         # discover the written initial-condition ids from the directory
         # instead of recomputing them from prod(Ne) (subset
         # initialconditions stride by the SELECTED basis size); for
-        # Lindblad basis runs (a perfect-square id count) keep only the
-        # diagonal (physical) ids i*(nsub+1), matching the reference
+        # Lindblad BASIS runs — recognized by the discovered ids being the
+        # full contiguous 0..nsub^2-1 set — keep only the diagonal
+        # (physical) ids i*(nsub+1), matching the reference. Non-basis
+        # Lindblad runs ('diagonal' writes [0, nsub+1, ...], '3states'
+        # writes [1,2,3], ...) already name files by their physical ids:
+        # keep them verbatim (a len()-only square test used to misfire on
+        # a 4-state diagonal run, rewriting [0,5,10,15] -> [0,3]).
         import glob as _glob
         import re as _re
         expectedEnergy = [[] for _ in range(len(self.Ne))]
@@ -850,9 +856,11 @@ class Quandary:
         ids = sorted({int(m.group(1)) for f in _glob.glob(
             os.path.join(datadir, "expected0.iinit*.dat"))
             for m in [_re.search(r"iinit(\d+)\.dat$", f)] if m})
-        if self._lindblad_solver and ids:
+        if (self._lindblad_solver and ids
+                and str(self.initialcondition).startswith("basis")):
             nsub = int(round(np.sqrt(len(ids))))
-            if nsub * nsub == len(ids):
+            if (nsub * nsub == len(ids) and nsub > 1
+                    and ids == list(range(len(ids)))):
                 ids = [i * (nsub + 1) for i in range(nsub)]
         for iosc in range(len(self.Ne)):
             for iid in ids:

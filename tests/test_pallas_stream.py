@@ -320,6 +320,60 @@ def test_high_precision_error_bound(monkeypatch):
         assert np.abs(a - b).max() < 5e-4 * max(np.abs(a).max(), 1e-12)
 
 
+def test_problem_parity_at_default_high_precision(monkeypatch):
+    """End-to-end objective/gradient parity at the SHIPPING default
+    in-kernel precision ('high', 3-pass bf16 hi/lo emulation) — no
+    fixture override. Regressions in the hi/lo split path (operand
+    pre-decomposition, dropped al@bl term bookkeeping) must be caught at
+    the configuration users actually run, not only at exact-f32. Bound:
+    the characterized ~1.5e-5/product error compounding over ntime=14
+    steps stays well under 2e-4 relative on value and 1e-3 on gradient."""
+    import os
+    monkeypatch.setattr(pallas_stream, "_PRECISION_MODE",
+                        os.environ.get("QTPU_PALLAS_PRECISION", "high"))
+    from quandary_tpu.models.hamiltonian import build_standard_model
+    from quandary_tpu.problem import Problem, Setup
+    from quandary_tpu.utils.splines import ControlSegment, OscillatorControl
+
+    T, ntime = 4.0, 14
+    freq01 = [4.80595, 4.8601]
+    model = build_standard_model(
+        nlevels=[3, 3], freq01_ghz=freq01, rotfreq_ghz=freq01,
+        selfkerr_ghz=[0.2198, 0.2252], jkl_ghz=[0.005], crosskerr_ghz=[])
+    oscs = tuple(OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=4, tstart=0.0,
+                                 tstop=T),),
+        carrier_freqs=(0.0, 2 * np.pi * (freq01[1 - k] - freq01[k]),))
+        for k in range(2))
+    base = Setup(
+        model=model, nessential=(2, 2), ntime=ntime, dt=T / ntime,
+        linsolve_iters=8,
+        oscillators=oscs,
+        ground_freqs_radns=tuple(2 * np.pi * f for f in freq01),
+        initcond_type="basis", target_type="pure",
+        pure_target_levels=(1, 0), objective_type="Jtrace",
+        gamma_tik=1e-4, gamma_penalty=0.1, gamma_penalty_energy=0.1,
+        dtype=jnp.complex64, time_parallel=False)
+
+    rng = np.random.default_rng(11)
+    params = jnp.asarray(rng.normal(size=base.nparams) * 0.02,
+                         dtype=jnp.float64)
+    ref = jnp.zeros_like(params)
+
+    outs = {}
+    for flag in (False, True):
+        prob = Problem(dataclasses.replace(base, pallas=flag))
+        assert prob.use_pallas == flag
+        (J, aux), g = jax.value_and_grad(prob.objective, has_aux=True)(
+            params, ref)
+        outs[flag] = (float(J), np.asarray(g))
+
+    J0, g0 = outs[False]
+    J1, g1 = outs[True]
+    assert abs(J1 - J0) < 2e-4 * max(1.0, abs(J0))
+    assert np.abs(g1 - g0).max() < 1e-3 * max(np.abs(g0).max(), 1e-12)
+
+
 def test_problem_stiff_jacobi_pallas_parity():
     """A stiff config (large self-Kerr at coarse dt triggers the Jacobi
     stage solve) must (a) remain pallas-eligible under the streamed kernels
