@@ -97,9 +97,13 @@ def main():
     results_path = tempfile.mktemp(prefix="quandary_bench_")
 
     def spawn(pallas, dev):
+        env = dict(os.environ)
+        if dev == "vmesh":
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                                " --xla_force_host_platform_device_count=8")
         return subprocess.Popen(
             [sys.executable, __file__, "--child", pallas, dev, results_path],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env)
 
     def wait(proc, tmo):
         try:
@@ -131,6 +135,11 @@ def main():
 
     # CPU safety net runs concurrently — zero relay interaction.
     cpu_proc = spawn("auto", "cpu")
+    # Virtual-mesh overhead probe (also CPU-only): the headline sweeps
+    # program sharded over an 8-device virtual mesh at FIXED total work —
+    # quantifies the shard_map partitioning + psum overhead that the
+    # multi-chip projection rides on.
+    vmesh_proc = spawn("auto", "vmesh")
 
     # TPU attempts, sequential (concurrent TPU procs queue behind each
     # other on the relay). First attempt pays the compile (persisted to
@@ -152,8 +161,22 @@ def main():
         time.sleep(5)
 
     wait(cpu_proc, 900)
+    wait(vmesh_proc, 900)
     best = best_final(records())
     if best is not None:
+        # merge the virtual-mesh overhead probe + per-chip projection into
+        # the headline record: candidates are embarrassingly parallel over
+        # chips (one scalar psum per sweep batch), so projected N-chip rate
+        # = per-chip rate x N x measured shard_map overhead efficiency.
+        vm = [r for r in records() if r.get("stage") == "vmesh-done"]
+        if vm:
+            eff = vm[-1]["overhead_efficiency"]
+            best["vmesh_devices"] = vm[-1]["devices"]
+            best["vmesh_overhead_efficiency"] = eff
+            best["projected_sweeps_per_s_8chip"] = round(
+                best["value"] * 8 * min(1.0, eff), 1)
+            best["projected_vs_baseline_8chip"] = round(
+                best["value"] * 8 * min(1.0, eff) / REFERENCE_SWEEPS_PER_S, 1)
         print(json.dumps(best))
         return
     recs = records()
@@ -167,15 +190,67 @@ def main():
 
 def _child(pallas: str, dev: str, results_path: str):
     import jax
-    if dev == "cpu":
+    if dev in ("cpu", "vmesh"):
         jax.config.update("jax_platforms", "cpu")
     else:
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if dev == "vmesh":
+        _run_vmesh(results_path)
+        return
     _run_bench(device=jax.devices()[0].platform,
                pallas=False if pallas == "false" else pallas,
                results_path=results_path)
+
+
+def _run_vmesh(results_path):
+    """Fixed-total-work overhead probe on an 8-device virtual CPU mesh.
+
+    The same pipelined-sweeps program (reps=2, E=32) runs unsharded on one
+    device and candidate-sharded over 8 virtual devices that share the SAME
+    physical cores — identical FLOPs either way, so the wall-clock ratio
+    isolates the cost shard_map adds (partitioning, the per-batch scalar
+    psum, per-shard dispatch). overhead_efficiency ~= 1.0 validates the
+    embarrassingly-parallel projection across real chips, where each shard
+    additionally gets its own MXUs (parity of the sharded program is pinned
+    separately in tests/test_sharding.py)."""
+    import jax
+    import jax.numpy as jnp
+    from quandary_tpu.parallel.mesh import make_mesh
+
+    def emit(rec):
+        line = json.dumps(rec)
+        if results_path:
+            with open(results_path, "a") as f:
+                f.write(line + "\n")
+        print(line)
+
+    problem, setup = build_problem()
+    E, reps = 32, 2
+    rng = np.random.default_rng(7)
+    Ps = jnp.asarray(rng.uniform(-1, 1, (reps, E, setup.nparams)) * 0.005,
+                     dtype=jnp.float32)
+    params = jnp.zeros((setup.nparams,), jnp.float32)
+    mesh = make_mesh(8, 1)
+    f_u = problem.build_ensemble_sweeps()
+    f_s = problem.build_ensemble_sweeps(mesh=mesh)
+
+    with mesh:
+        _ = float(f_u(Ps, params))      # compile + warm
+        _ = float(f_s(Ps, params))
+        emit({"stage": "vmesh-warm"})
+        t0 = time.perf_counter()
+        for _i in range(3):
+            _ = float(f_u(Ps, params))
+        t_u = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _i in range(3):
+            _ = float(f_s(Ps, params))
+        t_s = time.perf_counter() - t0
+    emit({"stage": "vmesh-done", "devices": 8,
+          "overhead_efficiency": round(t_u / t_s, 3),
+          "unsharded_s": round(t_u, 3), "sharded_s": round(t_s, 3)})
 
 
 def _run_bench(device: str, pallas="auto", results_path=None):

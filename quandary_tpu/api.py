@@ -568,7 +568,8 @@ class Quandary:
                 problem, params0, lb, ub, maxiter=self.maxiter,
                 gatol=self.tol_gnorm_abs, grtol=self.tol_gnorm_rel,
                 fatol=self.tol_costfunc, inftol=self.tol_infidelity,
-                monitor_freq=self.print_frequency_iter, verbose=self.verbose)
+                monitor_freq=self.print_frequency_iter, verbose=self.verbose,
+                datadir=datadir)  # durable: streamed history + checkpoints
             params = res.params
             history = res.history
             self.popt = params.tolist()

@@ -129,14 +129,17 @@ def run(config_path: str, quiet: bool = True, datadir_override: str = None) -> d
 
     elif runtype == "optimization":
         _write_controls(problem, datadir, params0, spec.output_frequency)
+        # durable run: optim_history.dat streamed row-by-row, params.dat +
+        # control<k>.dat + optim_state.npz rewritten every monitor interval
+        # (driver.run_optimization); a killed run resumes from the
+        # checkpoint via resume=True.
         res = run_optimization(
             problem, params0, *build_bounds(setup.oscillators, spec.control_bounds),
             maxiter=spec.maxiter, gatol=spec.gatol, grtol=spec.grtol,
             fatol=spec.fatol, inftol=spec.inftol,
-            monitor_freq=spec.optim_monitor_freq, verbose=not quiet)
-        rows = [r for r in res.history
-                if r.iter % spec.optim_monitor_freq == 0 or r is res.history[-1]]
-        out_io.write_optim_history(os.path.join(datadir, "optim_history.dat"), rows)
+            monitor_freq=spec.optim_monitor_freq, verbose=not quiet,
+            datadir=datadir, output_frequency=spec.output_frequency,
+            resume=spec.warmstart)
         out_io.write_params(os.path.join(datadir, "params.dat"), res.params)
         _write_controls(problem, datadir, res.params, spec.output_frequency)
         _write_trajectories(problem, setup, spec, datadir, res.params)

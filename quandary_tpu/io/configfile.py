@@ -208,6 +208,10 @@ class RunSpec:
     inftol: float
     params0: np.ndarray
     control_bounds: List[List[float]]  # GHz per oscillator/segment
+    warmstart: bool = False           # resume from datadir/optim_state.npz
+                                      # (extension key `optim_resume`; the
+                                      # reference's warm start is params-only
+                                      # via control_initialization = file)
 
 
 def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
@@ -474,5 +478,7 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
         inftol=cfg.get_double("optim_inftol", 1e-5),
         params0=params0,
         control_bounds=bounds,
+        warmstart=cfg.get_str("optim_resume", "false").lower() in
+        ("true", "yes", "1"),
     )
     return setup, runspec

@@ -22,14 +22,41 @@ OPTIM_HEADER = ("#\"iter\"    \"Objective\"           \"||Pr(grad)||\"        "
                 "\"Control variation\"\n")
 
 
+OPTIM_ROW_FMT = ("%05d  %1.14e  %1.14e  %.8f  %1.14e  %1.14e  %1.14e  "
+                 "%1.14e  %1.14e  %1.14e  %1.14e\n")
+
+
 def write_optim_history(path: str, rows) -> None:
     """11-column format (output.cpp:80-86)."""
     with open(path, "w", newline="\n") as f:
         f.write(OPTIM_HEADER)
         for r in rows:
             t = r.as_tuple() if hasattr(r, "as_tuple") else tuple(r)
-            f.write("%05d  %1.14e  %1.14e  %.8f  %1.14e  %1.14e  %1.14e  "
-                    "%1.14e  %1.14e  %1.14e  %1.14e\n" % t)
+            f.write(OPTIM_ROW_FMT % t)
+
+
+class OptimHistoryWriter:
+    """Streaming optim_history.dat writer: one row appended + flushed per
+    monitored iteration — the reference's writeOptimFile semantics
+    (output.cpp:80-86, fopen at startup output.cpp:35, fflush per row), so
+    a killed optimization leaves a valid, current history file behind.
+    `append=True` (warm restart) keeps the existing rows and skips the
+    header."""
+
+    def __init__(self, path: str, append: bool = False):
+        exists = os.path.exists(path)
+        self._f = open(path, "a" if append else "w", newline="\n")
+        if not (append and exists):
+            self._f.write(OPTIM_HEADER)
+            self._f.flush()
+
+    def write_row(self, row) -> None:
+        t = row.as_tuple() if hasattr(row, "as_tuple") else tuple(row)
+        self._f.write(OPTIM_ROW_FMT % t)
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
 
 
 def write_params(path: str, params) -> None:

@@ -4,13 +4,15 @@ of OptimProblem + TaoMonitor (optimproblem.cpp)."""
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence
 
 import jax
 import numpy as np
 
+from ..io import output as out_io
 from ..problem import Problem
-from .lbfgsb import LbfgsbResult, minimize_lbfgsb
+from .lbfgsb import LbfgsbResult, load_state, minimize_lbfgsb
 
 
 def build_bounds(oscillators, bounds_ghz_per_osc) -> tuple:
@@ -85,20 +87,53 @@ def run_optimization(
     monitor_freq: int = 1,
     verbose: bool = True,
     linesearch: str = "wolfe",
+    datadir: Optional[str] = None,
+    output_frequency: int = 1,
+    resume: bool = False,
 ) -> OptimResult:
+    """With `datadir`, the run is DURABLE: every `monitor_freq` iterations
+    the history row is appended + flushed to optim_history.dat (the
+    reference's writeOptimFile streaming semantics, output.cpp:80-86),
+    params.dat + control<k>.dat are rewritten with the current iterate
+    (a superset of the reference, which rewrites controls only at start
+    and convergence, optimproblem.cpp:573,646), and the L-BFGS state
+    (iterate + curvature memory) is checkpointed to optim_state.npz.
+    `resume=True` restarts from that checkpoint after a crash/kill:
+    iteration numbering continues and optim_history.dat is appended."""
     vg = problem.build_value_and_grad()
     params_ref = jax.numpy.asarray(np.asarray(params0, dtype=np.float64))
-
-    last_aux = {}
 
     def fun_and_grad(x):
         (f, aux), g = vg(jax.numpy.asarray(x), params_ref)
         auxf = {k: float(v) for k, v in aux.items()}
         return float(f), np.asarray(g, dtype=np.float64), auxf
 
+    checkpoint_path = None
+    resume_state = None
+    it0 = 0
+    hist_writer = None
+    if datadir is not None:
+        os.makedirs(datadir, exist_ok=True)
+        checkpoint_path = os.path.join(datadir, "optim_state.npz")
+        if resume and os.path.exists(checkpoint_path):
+            resume_state = load_state(checkpoint_path)
+            it0 = resume_state["it"]
+        hist_writer = out_io.OptimHistoryWriter(
+            os.path.join(datadir, "optim_history.dat"),
+            append=resume_state is not None)
+
     history: List[OptimHistoryRow] = []
+    written_iters = set()
+
+    def write_intermediate(row, x):
+        hist_writer.write_row(row)
+        written_iters.add(row.iter)
+        out_io.write_params(os.path.join(datadir, "params.dat"), x)
+        ts, p, q, flab = problem.controls_on_output_grid(jax.numpy.asarray(x))
+        out_io.write_controls(datadir, ts, p, q, flab, output_frequency)
 
     def callback(it, x, f, gnorm, step, aux):
+        it = it + it0
         row = OptimHistoryRow(
             iter=it, objective=f, gnorm=gnorm, step=step,
             fidelity=aux["fidelity"], cost=aux["obj_cost"],
@@ -111,6 +146,11 @@ def run_optimization(
         if verbose and it % monitor_freq == 0:
             print(f"{it}  Objective {f:.14e}  Fidelity {aux['fidelity']:.8f}"
                   f"  ||Pr(grad)|| {gnorm:.6e}")
+        if (hist_writer is not None and it % monitor_freq == 0
+                and not (resume_state is not None and it == it0)):
+            # (the it == it0 row is the re-evaluation AT the restored
+            # checkpoint — the pre-crash run already streamed it)
+            write_intermediate(row, x)
         # custom stopping tests (optimproblem.cpp:607-624)
         if 1.0 - aux["fidelity"] <= inftol:
             return "converged: small infidelity"
@@ -122,7 +162,17 @@ def run_optimization(
         fun_and_grad, np.asarray(params0, dtype=np.float64), lb, ub,
         maxiter=maxiter, gatol=gatol, grtol=grtol, callback=callback,
         linesearch=linesearch,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=monitor_freq if checkpoint_path else 0,
+        resume_state=resume_state,
+        iter_offset=it0,
     )
+    if hist_writer is not None:
+        # the final row always lands in the file (lastIter semantics,
+        # optimproblem.cpp:632), even off the monitor stride
+        if history and history[-1].iter not in written_iters:
+            write_intermediate(history[-1], res.x)
+        hist_writer.close()
     infid = 1.0 - history[-1].fidelity if history else 1.0
     return OptimResult(
         params=res.x, objective=res.f, infidelity=infid,

@@ -206,6 +206,7 @@ def minimize_lbfgsb(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume_state: Optional[dict] = None,
+    iter_offset: int = 0,
 ) -> LbfgsbResult:
     """Minimize f with box constraints.
 
@@ -300,7 +301,8 @@ def minimize_lbfgsb(
         step = t
         x, f, g, aux = x_new, f_new, g_new, aux_new
         if checkpoint_path and checkpoint_every and (it + 1) % checkpoint_every == 0:
-            save_state(checkpoint_path, x, s_list, y_list, it + 1)
+            save_state(checkpoint_path, x, s_list, y_list,
+                       it + 1 + iter_offset)
 
     return LbfgsbResult(x=x, f=f, g=g, niter=it, converged_reason=reason,
                         history=history)

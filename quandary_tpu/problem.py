@@ -951,25 +951,71 @@ class Problem:
     def build_propagate_final(self):
         return self._wrap_with_data(self.propagate_final)
 
-    def build_ensemble_value_and_grad(self):
+    def _ensemble_shard(self, fn, mesh, axis, out_specs):
+        """shard_map `fn(Ps, ref)` over the candidate (leading-Ps) axis of
+        the mesh. Each device runs the FULL per-candidate program — fused
+        Pallas kernels included, which GSPMD cannot partition but shard_map
+        runs whole per shard — on its E/n slice of the ensemble. This is the
+        multi-chip analog of the reference's comm_init split
+        (optimproblem.cpp:85-91, user_guide.md:422): candidates are
+        embarrassingly parallel, so the only collectives are the final
+        reductions (psum / all-gather of per-candidate outputs)."""
+        from jax.sharding import PartitionSpec as P
+
+        n = mesh.shape[axis]
+
+        def sharded(Ps, params_ref):
+            E = Ps.shape[-2]
+            if E % n:
+                raise ValueError(
+                    f"ensemble size {E} not divisible by mesh axis "
+                    f"'{axis}' of size {n}")
+            return jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(*([None] * (Ps.ndim - 2)), axis), P()),
+                out_specs=out_specs,
+                # the fused Pallas kernels don't carry varying-mesh-axes
+                # annotations; correctness is pinned by the sharded-vs-
+                # unsharded parity tests (test_sharding.py)
+                check_vma=False)(Ps, params_ref)
+
+        return sharded
+
+    def build_ensemble_value_and_grad(self, mesh=None, axis="init"):
         """value_and_grad vmapped over an ensemble of control vectors
         (E, nparams) -> ((J (E,), aux (E,...)), grad (E, nparams)).
 
         This is the batched-candidate axis the reference has no analog for:
         many control candidates (multi-start optimization, robust-control
         ensembles, population-based search) propagate simultaneously, turning
-        the small per-problem matmuls into large batched GEMMs."""
-        vg = jax.value_and_grad(self.objective, has_aux=True)
-        return self._wrap_with_data(jax.vmap(vg, in_axes=(0, None)))
+        the small per-problem matmuls into large batched GEMMs.
 
-    def build_ensemble_sweeps(self):
+        With `mesh`, the candidate axis is SHARDED over the mesh's `axis`
+        (shard_map; each device runs its E/n slice through the full fused
+        path) — the multi-chip scaling axis for the flagship throughput
+        metric."""
+        vg = jax.value_and_grad(self.objective, has_aux=True)
+        evg = jax.vmap(vg, in_axes=(0, None))
+        if mesh is None:
+            return self._wrap_with_data(evg)
+        from jax.sharding import PartitionSpec as P
+        out_specs = ((P(axis), P(axis)), P(axis))
+        return self._wrap_with_data(
+            self._ensemble_shard(evg, mesh, axis, out_specs))
+
+    def build_ensemble_sweeps(self, mesh=None, axis="init"):
         """f(Ps, params_ref) -> scalar consuming Ps.shape[0] PIPELINED
         ensemble gradient sweeps in one jit call (each a vmapped
         value_and_grad over Ps.shape[1] candidates; the scalar sums J and
         the gradients so nothing can be dead-code-eliminated). This is the
         throughput-probe entry point: one dispatch + one synchronous fetch
         measures chip rate without charging a remote link's round-trip to
-        every repetition."""
+        every repetition.
+
+        With `mesh`, the candidate axis of every sweep is SHARDED over the
+        mesh's `axis`: Ps (reps, E, nparams) with E split n ways, one psum
+        of the accumulated scalar at the end — per-chip work is exactly the
+        unsharded program at E/n."""
         vg = jax.value_and_grad(self.objective, has_aux=True)
 
         def reps(Ps, params_ref):
@@ -981,7 +1027,15 @@ class Problem:
             out, _ = jax.lax.scan(body, jnp.zeros((), self.rdtype), Ps)
             return out
 
-        return self._wrap_with_data(reps)
+        if mesh is None:
+            return self._wrap_with_data(reps)
+        from jax.sharding import PartitionSpec as P
+
+        def reps_psum(Ps, params_ref):
+            return jax.lax.psum(reps(Ps, params_ref), axis)
+
+        return self._wrap_with_data(
+            self._ensemble_shard(reps_psum, mesh, axis, P()))
 
     def propagate_final(self, params):
         """Forward-only propagation; returns final states (B, ...)."""

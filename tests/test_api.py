@@ -418,3 +418,49 @@ def test_qft_via_api(tmp_path):
     # at iteration 0); require the same "moved but unconverged" class
     assert infidelity < 0.9, infidelity
     assert len(pt) == nqubits
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_PYTESTS),
+                    reason="reference checkout not available")
+def test_cnot_const_init_ctrl_via_api(tmp_path):
+    """Mirror of tests/python/test_example_cnot_const_init_ctrl.py: CNOT
+    optimization started from a CONSTANT (non-randomized) initial control
+    of 100 MHz amplitude — the full API path through
+    randomize_init_ctrl=False (constant p/q spline coefficients,
+    quandary.py _initial_params constant branch). Pins the derived time
+    grid (EXPECTED_LENGTH = 1222) and requires convergence into the
+    reference's infidelity class (3.6980e-05 < tol_infidelity 1e-4)."""
+    freq01 = [4.80595, 4.8601]
+    favg = sum(freq01) / len(freq01)
+    unitary = np.identity(4)
+    unitary[2, 2] = unitary[3, 3] = 0.0
+    unitary[2, 3] = unitary[3, 2] = 1.0
+    q = Quandary(
+        freq01=freq01, Jkl=[0.005], rotfreq=favg * np.ones(2), T=200.0,
+        targetgate=unitary, verbose=False, initctrl_MHz=100.0,
+        randomize_init_ctrl=False,
+    )
+    exp = _ref_expected("test_example_cnot_const_init_ctrl.py",
+                        "EXPECTED_LENGTH", "EXPECTED_INFIDELITY")
+    assert q.nsteps + 1 == exp["EXPECTED_LENGTH"]
+    # constant initial control: every spline coefficient equals
+    # initctrl_MHz/1000/sqrt(2)/nf (quandary.py constant branch)
+    p0 = np.asarray(q.pcof0) if len(q.pcof0) else None
+    t, pt, qt, infidelity, energy, population = q.optimize(
+        datadir=str(tmp_path / "cnot_const"))
+    assert len(t) == exp["EXPECTED_LENGTH"]
+    assert infidelity < 1e-4, infidelity
+    assert len(population) == 2 and len(population[0]) == 4
+    # pin the CONSTANT initial-coefficient semantics: per oscillator k all
+    # coefficients equal initctrl_MHz/1000/sqrt(2)/nf_k * 2pi (up to
+    # boundary-condition zeroing), i.e. no randomization happened
+    osc = q._build_setup().oscillators
+    params0 = q._initial_params(osc)
+    off = 0
+    for k, o in enumerate(osc):
+        nf = len(o.carrier_freqs)
+        a = 100.0 / 1000.0 / np.sqrt(2.0) / nf * 2 * np.pi
+        chunk = params0[off:off + o.nparams]
+        off += o.nparams
+        nz = chunk[chunk != 0.0]
+        assert nz.size > 0 and np.allclose(nz, a), (k, nz[:4], a)

@@ -89,6 +89,55 @@ def test_sharded_grouped_matches_unsharded():
                                rtol=1e-8, atol=1e-12)
 
 
+def test_ensemble_sharded_matches_unsharded():
+    """The candidate/ensemble axis — the one that delivers the headline
+    throughput metric — sharded over the mesh via shard_map must reproduce
+    the unsharded vmapped value_and_grad and the pipelined-sweeps scalar
+    exactly, for BOTH the XLA scan path and the fused Pallas path (the
+    kernels run whole per shard; GSPMD cannot partition them). This is the
+    multi-chip analog of the reference's comm_init split
+    (optimproblem.cpp:85-91)."""
+    import dataclasses
+
+    from __graft_entry__ import _build_problem
+    from quandary_tpu.parallel.mesh import make_mesh
+    from quandary_tpu.problem import Problem
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+
+    prob_x, setup = _build_problem(ntime=12, T=2.0)
+    prob_p = Problem(dataclasses.replace(setup, pallas=True))
+    assert prob_p.use_pallas
+
+    E, R = 16, 2
+    rng = np.random.default_rng(7)
+    Ps = jnp.asarray(rng.normal(size=(R, E, setup.nparams)) * 0.02,
+                     dtype=jnp.float32)
+    ref = jnp.zeros((setup.nparams,), jnp.float32)
+
+    for name, prob in [("xla", prob_x), ("pallas", prob_p)]:
+        for mesh in (make_mesh(8, 1), make_mesh(4, 2)):
+            with mesh:
+                su = prob.build_ensemble_sweeps()(Ps, ref)
+                ss = prob.build_ensemble_sweeps(mesh=mesh)(Ps, ref)
+                (Ju, _), gu = prob.build_ensemble_value_and_grad()(Ps[0], ref)
+                (Js, _), gs = prob.build_ensemble_value_and_grad(
+                    mesh=mesh)(Ps[0], ref)
+            np.testing.assert_allclose(float(ss), float(su), rtol=1e-6,
+                                       err_msg=name)
+            np.testing.assert_allclose(np.asarray(Js), np.asarray(Ju),
+                                       rtol=1e-6, atol=0, err_msg=name)
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(gu),
+                                       rtol=1e-5, atol=1e-7, err_msg=name)
+
+    # non-divisible ensemble is a loud error, not silent truncation
+    bad = jnp.zeros((R, 6, setup.nparams), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        with make_mesh(8, 1) as mesh:
+            prob_x.build_ensemble_sweeps(mesh=mesh)(bad, ref)
+
+
 def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
