@@ -30,6 +30,31 @@ import numpy as np
 # measured anchor: scripts/perf/reference_anchor.py (2026-08-17, 4-core host)
 REFERENCE_SWEEPS_PER_S = 22.0
 
+# v5e peak: 197 TFLOP/s bf16 (the MXU native rate; f32 runs as multi-pass
+# bf16 emulation at 1/3 to 1/6 of that)
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def useful_flops_per_sweep(ntime, N, B, iters):
+    """Analytic USEFUL (physics) FLOPs of one gradient sweep — the flop
+    count of the unpadded math, not what the padded kernel issues. Model:
+    per time step the split/IMR stepper applies the off-diagonal
+    Hamiltonian `iters` times in the stage solve plus ~2 more applications
+    (RHS assembly + update); each application is a complex (N,N)@(N,B)
+    product = 8*N^2*B real flops. The backward pass replays the stages and
+    adds a plane-cotangent outer product of the same shape per step:
+    total ~= 3x forward. Diagonal rotations, controls and penalties are
+    O(N*B) per step — negligible. XLA's cost_analysis cannot be used here:
+    it counts a lax.scan body ONCE, not x trip-count.
+
+    At the flagship's N=16 this evaluates to ~0.15 GFLOP/sweep: the CNOT
+    workload is latency-bound, so `mfu` in the bench record is honestly
+    TINY (~0.02%) and the meaningful chip metric is sweeps/s. The
+    FLOPs-bound regime is the grouped 32^4 path (PERF.md: ~50 TFLOP/s
+    sustained, ~MXU saturation for multi-pass f32)."""
+    apps = iters + 2
+    return 3.0 * ntime * apps * 8.0 * N * N * B
+
 
 def build_problem(pallas="auto", linsolver=None, linsolve_iters=None):
     import jax.numpy as jnp
@@ -285,8 +310,9 @@ def _run_bench(device: str, pallas="auto", results_path=None):
 
     rng = np.random.default_rng(7)
 
-    # 1) single-problem latency, synchronously timed (value fetched each
-    # rep: async completion signals are unreliable through proxy backends)
+    # 1a) single-problem LATENCY, synchronously timed (value fetched each
+    # rep — through a remote relay this charges the link RTT to every rep,
+    # so it lower-bounds interactive per-call latency, not chip rate)
     n = 10
     t0 = time.perf_counter()
     for _i in range(n):
@@ -294,8 +320,25 @@ def _run_bench(device: str, pallas="auto", results_path=None):
                         dtype=jnp.float32)
         (J, aux), g = vg(p, p)
         _ = float(J)
-    single_per_s = n / (time.perf_counter() - t0)
-    emit({"stage": f"single-done:{device}", "single": round(single_per_s, 3)})
+    single_latency_per_s = n / (time.perf_counter() - t0)
+    emit({"stage": f"single-done:{device}",
+          "single": round(single_latency_per_s, 3)})
+
+    # 1b) single-problem THROUGHPUT: E=1, repetitions scanned inside one
+    # jit with a single fetch — the chip's E=1 gradient-sweep rate, the
+    # shape the reference actually runs (and what the on-device optimizer
+    # loop, optim/device_driver.py, delivers end-to-end)
+    n1 = 12
+    Ps1 = jnp.asarray(rng.uniform(-1, 1, (n1, 1, setup.nparams)) * 0.005,
+                      dtype=jnp.float32)
+    freps1 = problem.build_ensemble_sweeps()
+    _ = float(freps1(Ps1, params))        # compile + warm
+    t0 = time.perf_counter()
+    for _i in range(3):
+        _ = float(freps1(Ps1, params))
+    single_per_s = 3 * n1 / (time.perf_counter() - t0)
+    emit({"stage": f"single-pipelined-done:{device}",
+          "single_pipelined": round(single_per_s, 3)})
 
     # 2) ensemble throughput: E control candidates per call (vmapped), n
     # repetitions SCANNED inside one jit — the chip's aggregate
@@ -323,15 +366,24 @@ def _run_bench(device: str, pallas="auto", results_path=None):
 
     sweeps_per_s = ensemble_per_s
 
+    iters = 3 if pallas == "split" else setup.linsolve_iters
+    gflops_sweep = useful_flops_per_sweep(setup.ntime, problem.N,
+                                          problem.ninit, iters) / 1e9
+    tflops = sweeps_per_s * gflops_sweep / 1e3
+
     emit({
         "metric": "cnot_gradient_sweeps_per_s",
         "value": round(sweeps_per_s, 3),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_s / REFERENCE_SWEEPS_PER_S, 2),
         "single_problem_sweeps_per_s": round(single_per_s, 3),
+        "single_problem_latency_sweeps_per_s": round(single_latency_per_s, 3),
         "ensemble_size": E,
         "device": device,
         "engine": engine,
+        "useful_gflops_per_sweep": round(gflops_sweep, 4),
+        "useful_tflops": round(tflops, 4),
+        "mfu_vs_bf16_peak": round(tflops / V5E_BF16_PEAK_TFLOPS, 6),
     })
 
 

@@ -1,0 +1,101 @@
+"""Wall-clock to CNOT infidelity 1e-4 with the ON-DEVICE optimizer
+(optim/device_driver.py) — the BASELINE.json "time-to-solution" metric.
+
+Workload: the reference's quality-anchor configuration
+(tests/python/test_example_cnot.py — T=200 ns, derived nsteps=1221, seed
+1234, default tolerances) built through our API, optimized by the chunked
+on-device L-BFGS-B at E=1. CPU f64 host-Wolfe anchor: 4.3 s / 30 iterations
+to 6.99e-5 (PERF.md "CNOT quality anchor").
+
+Usage:
+    timeout 1800 python scripts/perf/device_opt_bench.py [chunk] [--cpu]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def main():
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 20
+    import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/quandary_bench_jaxcache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from quandary_tpu import Quandary
+    from quandary_tpu.optim.device_driver import run_optimization_device
+    from quandary_tpu.optim.driver import build_bounds
+    from quandary_tpu.problem import Problem
+
+    freq01 = [4.80595, 4.8601]
+    unitary = np.identity(4)
+    unitary[2, 2] = unitary[3, 3] = 0.0
+    unitary[2, 3] = unitary[3, 2] = 1.0
+    favg = sum(freq01) / len(freq01)
+    q = Quandary(freq01=freq01, Jkl=[0.005], rotfreq=favg * np.ones(2),
+                 T=200.0, targetgate=unitary, verbose=False, rand_seed=1234)
+    assert q.nsteps == 1221, q.nsteps      # the anchor's derived grid
+    setup = q._build_setup()
+    import dataclasses
+    if "--cpu" not in sys.argv and "--pallas" in sys.argv:
+        # fused split kernels (--pallas). MEASURED on v5e: at E=1 this is
+        # SLOWER than the plain XLA scan (15.6 s vs 2.9 s warm): the
+        # per-call Hamiltonian-plane assembly streams ~160 MB of (8, 128)
+        # padded planes for a 16-dim state, which only amortizes across a
+        # vmapped ensemble (the E=32 headline). Single-problem production
+        # runs use the XLA engine; the crossover is documented in PERF.md.
+        setup = dataclasses.replace(setup, linsolver="split",
+                                    linsolve_iters=3, pallas=True,
+                                    dtype=jnp.complex64)
+    problem = Problem(setup)
+    print(f"engine: pallas={problem.use_pallas} nsteps={setup.ntime} "
+          f"nparams={setup.nparams}", file=sys.stderr)
+
+    params0 = q._initial_params(setup.oscillators)
+    bounds_ghz = [[1e4]] * len(q.Ne)
+    lb, ub = build_bounds(setup.oscillators, bounds_ghz)
+
+    t0 = time.perf_counter()
+    res = run_optimization_device(
+        problem, params0, lb, ub, maxiter=200, inftol=1e-4,
+        gatol=1e-8, grtol=1e-10, fatol=1e-8, chunk=chunk, verbose=False)
+    wall_total = time.perf_counter() - t0
+
+    # warm rerun: compile amortized away (a production campaign reuses the
+    # compiled loop across problem instances / restarts)
+    t0 = time.perf_counter()
+    res2 = run_optimization_device(
+        problem, params0, lb, ub, maxiter=200, inftol=1e-4,
+        gatol=1e-8, grtol=1e-10, fatol=1e-8, chunk=chunk, verbose=False)
+    wall_warm = time.perf_counter() - t0
+
+    rec = {
+        "metric": "cnot_time_to_infidelity_1e-4",
+        "value": round(wall_warm, 3),
+        "unit": "s",
+        "wall_cold_s": round(wall_total, 3),
+        "niter": res2.niter,
+        "final_infidelity": float(res2.infidelity),
+        "reason": res2.reason,
+        "chunk": chunk,
+        "device": jax.devices()[0].platform,
+        "engine": "pallas-fused-split" if problem.use_pallas else "xla-scan",
+        "cpu_host_anchor_s": 4.3,
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
