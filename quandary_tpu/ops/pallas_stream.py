@@ -145,17 +145,19 @@ def lindblad_prime_stack(stack, Ls):
     return Hp.astype(stack.dtype)
 
 
-def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
+def _fwd_body(HrT_v, HiT_v, x0r_ref, x0i_ref,
               xr_ref, xi_ref, hr_ref, hi_ref, ks_refs=None,
               *, dt, iters, jac, split):
-    """One forward step of the streamed grid. jac: None for plain Neumann,
-    or the (dr, di, mr, mi) plane tuple for the Jacobi solve. split: None,
-    or the (er, ei) rows of the exact half-step diagonal propagator — the
-    diagonally-split stepper (H planes carry the OFF-DIAGONAL remainder,
-    diag zeroed outside the kernel; see steppers.make_step_fn).
-    ks_refs: optional (ksr_ref, ksi_ref) blocks of shape
-    (1, iters*Bp, P) receiving the stage iterates k_0..k_{iters-1} so the
-    backward kernel can skip its replay entirely."""
+    """One forward step of the streamed grid. HrT_v/HiT_v: the TRANSPOSED
+    H planes of this step as VALUES (loaded from a streamed plane block, or
+    contracted in-kernel from the stacks by the streamK caller). jac: None
+    for plain Neumann, or the (dr, di, mr, mi) plane tuple for the Jacobi
+    solve. split: None, or the (er, ei) rows of the exact half-step
+    diagonal propagator — the diagonally-split stepper (H planes carry the
+    OFF-DIAGONAL remainder, diag zeroed outside the kernel; see
+    steppers.make_step_fn). ks_refs: optional (ksr_ref, ksi_ref) blocks of
+    shape (1, iters*Bp, P) receiving the stage iterates k_0..k_{iters-1} so
+    the backward kernel can skip its replay entirely."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -163,10 +165,8 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
         xr_ref[:] = x0r_ref[:]
         xi_ref[:] = x0i_ref[:]
 
-    Hr = Hr_ref[0]
-    Hi = Hi_ref[0]
-    HrT = _prep_rhs(Hr.T)
-    HiT = _prep_rhs(Hi.T)
+    HrT = _prep_rhs(HrT_v)
+    HiT = _prep_rhs(HiT_v)
 
     def matvec(vr, vi):  # T(v) = -i H v, rows: v @ H^T in planes
         ar = _dot(vr, HrT) - _dot(vi, HiT)
@@ -219,17 +219,21 @@ def _fwd_body(Hr_ref, Hi_ref, x0r_ref, x0i_ref,
     hi_ref[0] = xi
 
 
-def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
+def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
               gTr_ref, gTi_ref, x0r_ref, x0i_ref,
-              gr_ref, gi_ref, Hbr_ref, Hbi_ref,
+              gr_ref, gi_ref, emit_Hb,
               ks_refs=None, *, nsteps, dt, iters, jac, split):
     """Exact real-arithmetic transpose of one computed step (the grid runs
-    steps in REVERSE order via the index maps). For the split stepper the
-    rotation transposes to its inverse (E^T = E^{-1}): state cotangent AND
-    pre-step state move into the rotated frame, the plain-Neumann transpose
-    chain runs there, and the outgoing cotangent rotates back.
-    ks_refs: optional forward-stored stage iterates k_0..k_{iters-1}
-    ((1, iters*Bp, P) blocks) — when present, the replay is skipped."""
+    steps in REVERSE order via the index maps). Hr/Hi: this step's H planes
+    as VALUES. emit_Hb(Hbr, Hbi): caller-provided sink for the accumulated
+    H-plane cotangent of the step (written to a per-step plane block by the
+    streaming caller; contracted against the stacks in-kernel by the
+    streamK caller). For the split stepper the rotation transposes to its
+    inverse (E^T = E^{-1}): state cotangent AND pre-step state move into
+    the rotated frame, the plain-Neumann transpose chain runs there, and
+    the outgoing cotangent rotates back. ks_refs: optional forward-stored
+    stage iterates k_0..k_{iters-1} ((1, iters*Bp, P) blocks) — when
+    present, the replay is skipped."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -237,8 +241,6 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
         gr_ref[:] = gTr_ref[:]
         gi_ref[:] = gTi_ref[:]
 
-    Hr = Hr_ref[0]
-    Hi = Hi_ref[0]
     # pre-step state: the SHIFTED history block hist[t-1] (index map
     # n-2-i, clamped); at the last grid step (t = 0) it is x0 — selected
     # here instead of materializing a concatenated [x0; hist[:-1]] copy of
@@ -371,8 +373,8 @@ def _bwd_body(Hr_ref, Hi_ref, xpr_ref, xpi_ref, jr_ref, ji_ref,
     Ci = jnp.concatenate([p[1] for p in accs], axis=0)
     UrT = jnp.concatenate([p[2] for p in accs], axis=0).T
     UiT = jnp.concatenate([p[3] for p in accs], axis=0).T
-    Hbr_ref[0] = (_dot(UiT, Cr) - _dot(UrT, Ci)).T
-    Hbi_ref[0] = (_dot(UrT, Cr) + _dot(UiT, Ci)).T
+    emit_Hb((_dot(UiT, Cr) - _dot(UrT, Ci)).T,
+            (_dot(UrT, Cr) + _dot(UiT, Ci)).T)
 
 
 def make_stream_propagate(stack, dt: float, iters: int = 10,
@@ -467,13 +469,13 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         in_specs = [plane, plane, full, full] + [row] * n_rows
 
         def body(*refs):
-            Hr, Hi, x0r, x0i = refs[:4]
+            Hr_ref, Hi_ref, x0r, x0i = refs[:4]
             jac, split = _split_rows(refs[4:4 + n_rows])
             outs = refs[4 + n_rows:]
             xr, xi, hr, hi = outs[:4]
             ks_refs = outs[4:6] if store_iters else None
-            _fwd_body(Hr, Hi, x0r, x0i, xr, xi, hr, hi, ks_refs,
-                      dt=dt, iters=iters, jac=jac, split=split)
+            _fwd_body(Hr_ref[0].T, Hi_ref[0].T, x0r, x0i, xr, xi, hr, hi,
+                      ks_refs, dt=dt, iters=iters, jac=jac, split=split)
 
         hist_spec = pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem)
         out_shape = (jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2 \
@@ -515,14 +517,19 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
             in_specs += [revks, revks]
 
         def body(*refs):
-            Hr, Hi, xpr, xpi, jr, ji, gTr, gTi, x0r, x0i = refs[:10]
+            Hr_ref, Hi_ref, xpr, xpi, jr, ji, gTr, gTi, x0r, x0i = refs[:10]
             jac, split = _split_rows(refs[10:10 + n_rows])
             rest = refs[10 + n_rows:]
             ks_refs = rest[:2] if store_iters else None
             gr, gi, Hbr, Hbi = rest[2:] if store_iters else rest
-            _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi, x0r, x0i,
-                      gr, gi, Hbr, Hbi, ks_refs, nsteps=nsteps, dt=dt,
-                      iters=iters, jac=jac, split=split)
+
+            def emit_Hb(br, bi):
+                Hbr[0] = br
+                Hbi[0] = bi
+
+            _bwd_body(Hr_ref[0], Hi_ref[0], xpr, xpi, jr, ji, gTr, gTi,
+                      x0r, x0i, gr, gi, emit_Hb, ks_refs, nsteps=nsteps,
+                      dt=dt, iters=iters, jac=jac, split=split)
 
         return pl.pallas_call(
             body,
@@ -593,6 +600,279 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
         Sr_bar = jnp.einsum("nk,npq->kpq", Cf, Hbr).astype(Sr.dtype)
         Si_bar = jnp.einsum("nk,npq->kpq", Cf, Hbi).astype(Si.dtype)
         return Sr_bar, Si_bar, x0_bar, C_bar
+
+    propagate.defvjp(fwd2, bwd2)
+    return propagate
+
+
+def make_streamk_propagate(stack, dt: float, iters: int = 10,
+                           gen_diag=None, linsolver: str = "neumann",
+                           interpret: bool = False):
+    """STREAM-K variant of make_stream_propagate: the per-step Hamiltonian
+    planes are contracted IN-KERNEL from the (K, P, P) operator stacks
+    (VMEM-resident, constant index map) and the (ntime, Kp) coefficient
+    rows — the (ntime, P, P) plane arrays are never materialized in HBM.
+
+    Why: the plane arrays are the fused path's dominant XLA glue. Per
+    gradient sweep the streaming path builds 2 forward plane arrays and
+    writes + re-contracts 2 cotangent plane arrays: ~4*ntime*P^2*4 bytes of
+    HBM each way (CNOT flagship P=128: ~320 MB/sweep; open-system CNOT
+    P=256: ~1.3 GB/sweep — the main reason the open fused path measured 30x
+    slower than closed, VERDICT round 2). Here the forward kernel reads
+    (1, Kp) coefficients per step and does K VPU multiply-adds over (P, P);
+    the backward contracts the step's plane cotangent against the stacks
+    in-kernel and emits (1, Kp) coefficient cotangents — per-step HBM
+    traffic drops from O(P^2) to O(K).
+
+    Contract: propagate(Sr, Si, x0, C) -> (xT, hist), differentiable in x0
+    and C. LIMITATION (documented, enforced by zeros): cotangents w.r.t.
+    the operator stacks Sr/Si are NOT computed (they would need the
+    per-step plane cotangents this kernel exists to avoid materializing).
+    Control optimization never differentiates the stacks (they are
+    threaded as constants by Problem._wrap_with_data); Hamiltonian
+    calibration should use make_stream_propagate.
+    """
+    stack = np.asarray(stack)
+    K, N, _ = stack.shape
+    P = _round_up(N, 128)
+    dt = float(dt)
+    iters = int(iters)
+    jac_np = split_np = None
+    diag_slot = None
+    if linsolver == "jacobi":
+        if gen_diag is None:
+            raise ValueError("jacobi streamed solve requires gen_diag")
+        jac_np = _jacobi_planes(gen_diag, dt, N, P)
+    elif linsolver == "split":
+        if gen_diag is None:
+            raise ValueError("split streamed stepper requires gen_diag")
+        split_np = _split_planes(gen_diag, dt, N, P)
+        # the diagonal subtraction folds into the contraction as an extra
+        # stack slot with coefficient -1 (H planes carry the off-diagonal
+        # remainder)
+        d = np.zeros((P,), np.complex128)
+        d[:N] = np.asarray(gen_diag, dtype=np.complex128).reshape(-1)
+        h = 1j * d
+        diag_slot = (np.diag(h.real).astype(np.float32),
+                     np.diag(h.imag).astype(np.float32))
+    elif linsolver != "neumann":
+        raise ValueError(f"streamK pallas supports neumann/jacobi/split, "
+                         f"got {linsolver!r}")
+    Ke = K + (1 if diag_slot is not None else 0)
+    Kp = _round_up(Ke, 128)
+    n_rows = 4 if jac_np is not None else (2 if split_np is not None else 0)
+    store_iters = iters <= 4
+
+    vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
+    cparams = {} if not _HAVE_PLTPU else {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))}
+
+    def _row_args():
+        rows = jac_np if jac_np is not None else split_np
+        return tuple(jnp.asarray(p) for p in rows) if rows else ()
+
+    def _pack(x0):
+        B = x0.shape[0]
+        Bp = _round_up(B, 8)
+        xr = jnp.zeros((Bp, P), jnp.float32).at[:B, :N].set(
+            jnp.real(x0).astype(jnp.float32))
+        xi = jnp.zeros((Bp, P), jnp.float32).at[:B, :N].set(
+            jnp.imag(x0).astype(jnp.float32))
+        return xr, xi
+
+    def _unpack_hist(hr, hi, B, dtype):
+        return (hr[:, :B, :N] + 1j * hi[:, :B, :N]).astype(dtype)
+
+    def _ext_stacks(Sr, Si):
+        """(Ke, P, P) extended stacks (+ transposes) and the (ntime, Kp)
+        padded coefficient rows builder."""
+        if diag_slot is not None:
+            Sr = jnp.concatenate(
+                [Sr, -jnp.asarray(diag_slot[0])[None]], axis=0)
+            Si = jnp.concatenate(
+                [Si, -jnp.asarray(diag_slot[1])[None]], axis=0)
+        return Sr, Si, jnp.swapaxes(Sr, -1, -2), jnp.swapaxes(Si, -1, -2)
+
+    def _pad_C(C):
+        # 3-D (ntime, 1, Kp): Mosaic requires the last two BLOCK dims to be
+        # (divisible by 8, divisible by 128) or equal to the array dims; a
+        # (1, Kp) block of a 2-D (ntime, Kp) array violates the first
+        ntime = C.shape[0]
+        Cp = jnp.zeros((ntime, 1, Kp), jnp.float32)
+        Cp = Cp.at[:, 0, :K].set(C.astype(jnp.float32))
+        if diag_slot is not None:
+            Cp = Cp.at[:, 0, K].set(1.0)
+        return Cp
+
+    def _contract(c_ref, Sa_ref, Sb_ref):
+        """(Hr, Hi) = sum_k c[k] * (Sa[k], Sb[k]) — K static, unrolled."""
+        Hr = c_ref[0, 0, 0] * Sa_ref[0]
+        Hi = c_ref[0, 0, 0] * Sb_ref[0]
+        for k in range(1, Ke):
+            Hr = Hr + c_ref[0, 0, k] * Sa_ref[k]
+            Hi = Hi + c_ref[0, 0, k] * Sb_ref[k]
+        return Hr, Hi
+
+    def _split_rows(refs):
+        if jac_np is not None:
+            dr, di_, mr_, mi_ = refs
+            return (dr[:], di_[:], mr_[:], mi_[:]), None
+        if split_np is not None:
+            er, ei_ = refs
+            return None, (er[:], ei_[:])
+        return None, None
+
+    stack_spec_shape = (Ke, P, P)
+
+    def _fwd_call(nsteps, Bp):
+        const3 = pl.BlockSpec(stack_spec_shape, lambda i: (0, 0, 0), **vmem)
+        crow = pl.BlockSpec((1, 1, Kp), lambda i: (i, 0, 0), **vmem)
+        full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
+        row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
+        in_specs = [const3, const3, crow, full, full] + [row] * n_rows
+
+        def body(*refs):
+            SrT_ref, SiT_ref, c_ref, x0r, x0i = refs[:5]
+            jac, split = _split_rows(refs[5:5 + n_rows])
+            outs = refs[5 + n_rows:]
+            xr, xi, hr, hi = outs[:4]
+            ks_refs = outs[4:6] if store_iters else None
+            HrT, HiT = _contract(c_ref, SrT_ref, SiT_ref)
+            _fwd_body(HrT, HiT, x0r, x0i, xr, xi, hr, hi, ks_refs,
+                      dt=dt, iters=iters, jac=jac, split=split)
+
+        hist_spec = pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem)
+        out_shape = (jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2 \
+            + (jax.ShapeDtypeStruct((nsteps, Bp, P), jnp.float32),) * 2
+        out_specs = (full, full, hist_spec, hist_spec)
+        if store_iters:
+            ks_spec = pl.BlockSpec((1, iters * Bp, P),
+                                   lambda i: (i, 0, 0), **vmem)
+            out_shape = out_shape + (jax.ShapeDtypeStruct(
+                (nsteps, iters * Bp, P), jnp.float32),) * 2
+            out_specs = out_specs + (ks_spec, ks_spec)
+        return pl.pallas_call(
+            body,
+            grid=(nsteps,),
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+            **cparams)
+
+    def _bwd_call(nsteps, Bp):
+        const3 = pl.BlockSpec(stack_spec_shape, lambda i: (0, 0, 0), **vmem)
+        crow_rev = pl.BlockSpec((1, 1, Kp),
+                                lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                                **vmem)
+        revs = pl.BlockSpec((1, Bp, P),
+                            lambda i, n=nsteps: (n - 1 - i, 0, 0), **vmem)
+        revp = pl.BlockSpec(
+            (1, Bp, P),
+            lambda i, n=nsteps: (jnp.maximum(n - 2 - i, 0), 0, 0), **vmem)
+        full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
+        row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
+        in_specs = [const3, const3, crow_rev, revp, revp, revs, revs,
+                    full, full, full, full] + [row] * n_rows
+        if store_iters:
+            revks = pl.BlockSpec((1, iters * Bp, P),
+                                 lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                                 **vmem)
+            in_specs += [revks, revks]
+
+        def body(*refs):
+            (Sr_ref, Si_ref, c_ref, xpr, xpi, jr, ji, gTr, gTi,
+             x0r, x0i) = refs[:11]
+            jac, split = _split_rows(refs[11:11 + n_rows])
+            rest = refs[11 + n_rows:]
+            ks_refs = rest[:2] if store_iters else None
+            gr, gi, Cb = rest[2:] if store_iters else rest
+            # contract the step's planes from the UNtransposed stacks
+            # (T uses H^T -> in-body .T of these; Tt uses H directly)
+            Hr, Hi = _contract(c_ref, Sr_ref, Si_ref)
+
+            def emit_Hb(br, bi):
+                # coefficient cotangents in-kernel: Cb[k] = <br, Sr[k]> +
+                # <bi, Si[k]> — K (P,P) reductions replace the O(P^2)
+                # plane-cotangent write + XLA einsum. The row is assembled
+                # with iota-selects (Mosaic has no scatter lowering).
+                vals = [jnp.sum(br * Sr_ref[k]) + jnp.sum(bi * Si_ref[k])
+                        for k in range(Ke)]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
+                rowv = jnp.zeros((1, 1, Kp), jnp.float32)
+                for k in range(Ke):
+                    rowv = rowv + jnp.where(lane == k, vals[k], 0.0)
+                Cb[...] = rowv
+
+            _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
+                      x0r, x0i, gr, gi, emit_Hb, ks_refs, nsteps=nsteps,
+                      dt=dt, iters=iters, jac=jac, split=split)
+
+        crow_out = pl.BlockSpec((1, 1, Kp),
+                                lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                                **vmem)
+        return pl.pallas_call(
+            body,
+            grid=(nsteps,),
+            out_shape=(jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2
+            + (jax.ShapeDtypeStruct((nsteps, 1, Kp), jnp.float32),),
+            in_specs=in_specs,
+            out_specs=(full, full, crow_out),
+            interpret=interpret,
+            **cparams)
+
+    def _run_forward(Sr, Si, x0, C):
+        B, dtype = x0.shape[0], x0.dtype
+        ntime = C.shape[0]
+        xr0, xi0 = _pack(x0)
+        Bp = xr0.shape[0]
+        _, _, SrT, SiT = _ext_stacks(Sr, Si)
+        args = (SrT, SiT, _pad_C(C), xr0, xi0) + _row_args()
+        outs = _fwd_call(ntime, Bp)(*args)
+        xr, xi, hr, hi = outs[:4]
+        ks = outs[4:6] if store_iters else None
+        xT = (xr[:B, :N] + 1j * xi[:B, :N]).astype(dtype)
+        return xT, _unpack_hist(hr, hi, B, dtype), (hr, hi), ks
+
+    @jax.custom_vjp
+    def propagate(Sr, Si, x0, C):
+        xT, hist, _, _ = _run_forward(Sr, Si, x0, C)
+        return xT, hist
+
+    def fwd2(Sr, Si, x0, C):
+        xT, hist, planes, ks = _run_forward(Sr, Si, x0, C)
+        x0p = _pack(x0)
+        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p, ks)
+
+    def bwd2(res, cots):
+        Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i), ks = res
+        xT_bar, hist_bar = cots
+        B, dtype = x0_proto.shape[0], x0_proto.dtype
+        ntime = C.shape[0]
+        Bp = hr.shape[1]
+        Sre, Sie, _, _ = _ext_stacks(Sr, Si)
+
+        _, h_vjp = jax.vjp(lambda a, b: _unpack_hist(a, b, B, dtype), hr, hi)
+        jr, ji = h_vjp(hist_bar)
+
+        def unpack_xT(a, b):
+            return (a[:B, :N] + 1j * b[:B, :N]).astype(dtype)
+
+        _, u_vjp = jax.vjp(unpack_xT, hr[-1], hi[-1])
+        gTr, gTi = u_vjp(xT_bar)
+
+        args = (Sre, Sie, _pad_C(C), hr, hi, jr, ji, gTr, gTi,
+                x0r, x0i) + _row_args()
+        if store_iters:
+            args = args + tuple(ks)
+        gr, gi, Cb = _bwd_call(ntime, Bp)(*args)
+
+        _, pk_vjp = jax.vjp(_pack, x0_proto)
+        (x0_bar,) = pk_vjp((gr, gi))
+        C_bar = Cb[:, 0, :K].astype(C.dtype)
+        # stack cotangents intentionally zero — see builder docstring
+        return (jnp.zeros_like(Sr), jnp.zeros_like(Si), x0_bar, C_bar)
 
     propagate.defvjp(fwd2, bwd2)
     return propagate

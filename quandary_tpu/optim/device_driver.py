@@ -89,6 +89,13 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
         at_ub = (x >= ub - 1e-12) & (g < 0)
         return jnp.where(at_lb | at_ub, 0.0, g)
 
+    def fb_residual(x, g):
+        # TAO's Fischer-Burmeister bounded residual (lbfgsb.bounded_residual
+        # — reproduces the reference's ||Pr(grad)|| column exactly)
+        def phi(a, b):
+            return jnp.sqrt(a * a + b * b) - a - b
+        return phi(x - lb, phi(ub - x, -g))
+
     def aux_vec(aux):
         return jnp.stack([jnp.asarray(aux[k], rdtype) for k in AUX_KEYS])
 
@@ -96,8 +103,7 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
         x = project(jnp.asarray(params0, rdtype))
         (f, aux), g = vg(x, params_ref)
         n = x.shape[0]
-        pg = pgrad(x, g)
-        gnorm0 = jnp.linalg.norm(pg)
+        gnorm0 = jnp.linalg.norm(fb_residual(x, g))
         return dict(
             x=x, f=jnp.asarray(f, rdtype), g=g, aux=aux_vec(aux),
             ref=jnp.asarray(params_ref, rdtype),
@@ -146,8 +152,7 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
                         st["rho"])
         count = st["count"] + good.astype(jnp.int32)
 
-        pg_new = pgrad(x_new, g_new)
-        gnorm = jnp.linalg.norm(pg_new)
+        gnorm = jnp.linalg.norm(fb_residual(x_new, g_new))
         av = aux_vec(aux_new)
         # stopping tests (driver.run_optimization / optimproblem.cpp:607-624)
         done = ((1.0 - av[0] <= inftol) | (av[1] <= fatol)
@@ -165,10 +170,10 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
             # freeze once done: later iterations in the chunk are no-ops
             st2 = jax.tree.map(
                 lambda a, b: jnp.where(st["done"], a, b), st, nxt)
-            pg = pgrad(st2["x"], st2["g"])
+            res = fb_residual(st2["x"], st2["g"])
             row = jnp.concatenate([
                 jnp.stack([jnp.where(st["done"], 0.0, 1.0).astype(rdtype),
-                           st2["f"], jnp.linalg.norm(pg).astype(rdtype),
+                           st2["f"], jnp.linalg.norm(res).astype(rdtype),
                            st2["step"]]), st2["aux"]])
             return st2, row
         st, rows = jax.lax.scan(body, st, None, length=chunk)
@@ -223,13 +228,13 @@ def run_optimization_device(
 
     history_rows: List[OptimHistoryRow] = []
     # iteration-0 row from the init state
+    from .lbfgsb import bounded_residual
     g0 = np.asarray(st["g"], dtype=np.float64)
-    pg0 = g0.copy()
     x0h = np.asarray(st["x"], dtype=np.float64)
-    at = ((x0h <= lb + 1e-12) & (g0 > 0)) | ((x0h >= ub - 1e-12) & (g0 < 0))
-    pg0[at] = 0.0
+    res0 = bounded_residual(x0h, g0, np.asarray(lb, float),
+                            np.asarray(ub, float))
     row0 = OptimHistoryRow(
-        iter=0, objective=float(st["f"]), gnorm=float(np.linalg.norm(pg0)),
+        iter=0, objective=float(st["f"]), gnorm=float(np.linalg.norm(res0)),
         step=0.0, fidelity=float(st["aux"][0]), cost=float(st["aux"][1]),
         tikhonov=float(st["aux"][2]), penalty=float(st["aux"][3]),
         penalty_dpdm=float(st["aux"][4]), penalty_energy=float(st["aux"][5]),

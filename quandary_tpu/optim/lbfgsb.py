@@ -57,12 +57,33 @@ def _project(x, lb, ub):
 
 def _projected_grad(x, g, lb, ub, tol=1e-12):
     """Projected gradient: zero where the bound is active and the gradient
-    pushes outward (TAO's convergence measure for bounded solvers)."""
+    pushes outward. Used for the search-direction fallback; the REPORTED /
+    convergence-tested residual is `bounded_residual` below."""
     pg = g.copy()
     at_lb = (x <= lb + tol) & (g > 0)
     at_ub = (x >= ub - tol) & (g < 0)
     pg[at_lb | at_ub] = 0.0
     return pg
+
+
+def _fischer(a, b):
+    return np.sqrt(a * a + b * b) - a - b
+
+
+def bounded_residual(x, g, lb, ub):
+    """TAO's bounded-solver convergence residual: the Fischer-Burmeister
+    complementarity function, PETSc VecFischer nesting
+    w_i = phi(x_i - l_i, phi(u_i - x_i, -g_i)) with
+    phi(a, b) = sqrt(a^2 + b^2) - a - b. DISCOVERED by reproduction
+    (tests/test_gnorm_investigation.py): the reference's optim_history
+    ||Pr(grad)|| column matches ||w||_2 of our FD-exact gradient to 4e-13
+    (xgate, interior) and 5e-10 (cnot, fully bound-clipped), while every
+    projected-gradient variant is 4-8% off. At a bound with outward g the
+    component vanishes (KKT-consistent); far from both bounds w_i -> -g_i.
+    Using the same residual makes our history files and gatol/grtol
+    stopping bit-comparable with TAO's (optimproblem.cpp:595,621)."""
+    t1 = _fischer(ub - x, -g)
+    return _fischer(x - lb, t1)
 
 
 def _cubic_min(a, fa, da, b, fb, db):
@@ -226,8 +247,7 @@ def minimize_lbfgsb(
         rho_list = list(resume_state["rho_list"])
     f, g, aux = fun_and_grad(x)
 
-    pg = _projected_grad(x, g, lb, ub)
-    gnorm0 = np.linalg.norm(pg)
+    gnorm0 = np.linalg.norm(bounded_residual(x, g, lb, ub))
     reason = "maxiter reached"
     history: List[dict] = []
     step = 0.0
@@ -235,7 +255,9 @@ def minimize_lbfgsb(
 
     for it in range(maxiter + 1):
         pg = _projected_grad(x, g, lb, ub)
-        gnorm = np.linalg.norm(pg)
+        # reported + convergence-tested residual: TAO's Fischer-Burmeister
+        # norm (exact history parity; see bounded_residual)
+        gnorm = np.linalg.norm(bounded_residual(x, g, lb, ub))
         history.append({"iter": it, "f": f, "gnorm": gnorm, "step": step})
         if callback is not None:
             stop = callback(it, x, f, gnorm, step, aux)

@@ -356,12 +356,13 @@ class Problem:
         # fused; the chunked cross-check path (ops/pallas_adjoint.py) is
         # plain-Neumann only.
         pallas_solvers = ("neumann", "jacobi", "split") \
-            if s.pallas_mode == "stream" else ("neumann",)
+            if s.pallas_mode in ("stream", "streamk") else ("neumann",)
         # Open systems run fused too (streamed kernels only): the state is
         # the column-major vec(rho) and the kernel integrates the pseudo-
         # Hamiltonian H' = i*L (pallas_stream.lindblad_prime_stack), capped
         # at N^2 <= 1024 by the (P, P) VMEM plane size.
-        lind_fusable = (self.lindblad and s.pallas_mode == "stream"
+        lind_fusable = (self.lindblad
+                        and s.pallas_mode in ("stream", "streamk")
                         and self.N * self.N <= 1024)
         pallas_ok = ((not self.lindblad or lind_fusable)
                      and s.timestepper.upper() == "IMR"
@@ -690,9 +691,19 @@ class Problem:
                 # layout; the kernel state is column-major vec(rho)
                 gd = np.asarray(gd).T.reshape(-1)
             shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
-            if s.pallas_mode == "stream":
-                from .ops.pallas_stream import make_stream_propagate
-                prop = make_stream_propagate(
+            if s.pallas_mode in ("stream", "streamk"):
+                # 'streamk' contracts the per-step H planes IN-KERNEL from
+                # the operator stacks ((ntime, P, P) plane arrays never hit
+                # HBM; backward emits (ntime, K) coefficient cotangents
+                # directly) — see make_streamk_propagate. Stack cotangents
+                # are zero on that path, which is sound here: pallas_Sr/Si
+                # are threaded constants, never differentiated.
+                from .ops.pallas_stream import (make_stream_propagate,
+                                                make_streamk_propagate)
+                builder = (make_streamk_propagate
+                           if s.pallas_mode == "streamk"
+                           else make_stream_propagate)
+                prop = builder(
                     shape_proto, s.dt, s.linsolve_iters,
                     gen_diag=gd, linsolver=self.linsolver,
                     interpret=self._pallas_interpret)

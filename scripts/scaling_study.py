@@ -86,6 +86,64 @@ def main():
     _report("dense", dense)
     _report("grouped", grouped)
 
+    # ENSEMBLE axis (the headline-metric axis): E candidates shard_map'ed
+    # over an (n, 1) mesh, fused Pallas kernels per shard. Two protocols:
+    # * fixed TOTAL work (E=16 over n devices) — overhead probe: on shared
+    #   CPU cores the wall time should not grow with n (collectives are one
+    #   scalar psum);
+    # * fixed PER-DEVICE work (E=2n) — weak scaling: wall time should stay
+    #   ~flat as devices (and total candidates) grow, when real cores back
+    #   the devices.
+    import dataclasses
+
+    from quandary_tpu.problem import Problem
+
+    _, esetup = _build_problem(ntime=64, T=4.0)
+    eproblem = Problem(dataclasses.replace(esetup, pallas=True))
+    params = jnp.zeros((esetup.nparams,), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+
+    def _time_ens(E, mesh, reps=2, n=3):
+        Ps = jnp.asarray(rng.normal(size=(reps, E, esetup.nparams)) * 0.02,
+                         dtype=jnp.float32)
+        f = (eproblem.build_ensemble_sweeps(mesh=mesh) if mesh is not None
+             else eproblem.build_ensemble_sweeps())
+        ctx = mesh if mesh is not None else _nullctx()
+        with ctx:
+            _ = float(f(Ps, params))
+            t0 = time.perf_counter()
+            for _i in range(n):
+                _ = float(f(Ps, params))
+            return n * reps * E / (time.perf_counter() - t0)
+
+    class _nullctx:
+        def __enter__(self):
+            return None
+
+        def __exit__(self, *a):
+            return False
+
+    print("\nensemble axis (fused kernels, shard_map over 'init'):")
+    r1 = _time_ens(16, None)
+    print(f"  unsharded E=16:            {r1:8.2f} sweeps/s")
+    rows = []
+    for n in [2, 4, 8]:
+        if n > ndev:
+            continue
+        mesh = make_mesh(n, 1)
+        rf = _time_ens(16, mesh)             # fixed total work
+        rw = _time_ens(2 * n, mesh)          # fixed per-device work
+        rows.append((n, rf, rw))
+        print(f"  n={n}: fixed-total E=16 {rf:8.2f} sweeps/s "
+              f"(x{rf / r1:.2f})   weak E={2 * n} {rw:8.2f} sweeps/s")
+    print("\nmarkdown:")
+    print("| devices | fixed-total E=16 sweeps/s | vs 1 dev | "
+          "weak-scaling E=2n sweeps/s |")
+    print("|---|---|---|---|")
+    print(f"| 1 | {r1:.2f} | 1.00x | {_time_ens(2, None):.2f} |")
+    for n, rf, rw in rows:
+        print(f"| {n} | {rf:.2f} | {rf / r1:.2f}x | {rw:.2f} |")
+
 
 if __name__ == "__main__":
     main()

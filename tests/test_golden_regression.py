@@ -24,10 +24,72 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference checkout not available")
 
 
+# QTPU_GOLDEN_STRICT=1: run the file-comparison cases at the REFERENCE
+# harness's own tolerances (regression_test.py:14-15, rtol=1e-7 atol=1e-15)
+# plus a ONE-PRINT-ULP allowance. The allowance is principled, not a fudge:
+# the reference's goldens were produced by the same binary it tests, so its
+# comparisons see bit-identical text; an independent implementation can at
+# best agree to the file format's quantization — %1.10e for rho_Re/Im
+# (output.cpp:261), %1.14e elsewhere — and the measured deviations of the
+# rho trajectories sit EXACTLY at that quantum (survey 2026-08-18: absmax
+# 1.000e-11/1e-12/1e-13 on rho files, i.e. the last printed digit).
+# The default tier stays at rtol 1e-6 / atol 1e-10 (fast development runs).
+# QTPU_GOLDEN_REPORT=1 prints each file's achieved max relative/absolute
+# deviation instead of asserting (tolerance surveying).
+STRICT = os.environ.get("QTPU_GOLDEN_STRICT") == "1"
+REPORT = os.environ.get("QTPU_GOLDEN_REPORT") == "1"
+
+
+def _print_quantum(b, fname):
+    """Magnitude of one unit in the last printed digit of each golden
+    entry: 10^(floor(log10|b|) - sig + 1), sig = significant digits of the
+    writer's format (rho_*: %1.10e -> 11; others: %1.14e -> 15)."""
+    sig = 11 if os.path.basename(fname).startswith("rho_") else 15
+    mag = np.where(b == 0.0, 0.0,
+                   np.floor(np.log10(np.maximum(np.abs(b), 1e-300))))
+    return np.where(b == 0.0, 0.0, 10.0 ** (mag - sig + 1))
+
+
 def _compare_file(ours: str, golden: str, rtol=1e-6, atol=1e-10):
     a = np.loadtxt(ours)
     b = np.loadtxt(golden)
     assert a.shape == b.shape, f"{ours}: shape {a.shape} vs golden {b.shape}"
+    if REPORT:
+        diff = np.abs(a - b)
+        scale = np.maximum(np.abs(b), 1e-300)
+        rel = diff / scale
+        # worst relative error among entries above the atol floor
+        mask = diff > 1e-15
+        relmax = float((rel * mask).max()) if mask.any() else 0.0
+        print(f"GOLDENREPORT {os.path.basename(ours)} "
+              f"relmax={relmax:.3e} absmax={float(diff.max()):.3e}")
+        return
+    if STRICT:
+        diff = np.abs(a - b)
+        # accumulation floor: independently-computed f64 trajectories over
+        # the goldens' ~1000-step horizons differ by O(n_steps * eps_f64)
+        # RELATIVE TO THE FILE'S SCALE, concentrated in near-zero entries
+        # (measured worst: 1.1e-12 x scale on AxC_grad_schroedinger's
+        # 3.6e7-scale gradient, IDENTICAL at 20 and 40 solver iterations —
+        # roundoff, not truncation). 2.5e-12 ~= 10 * 1000 * eps_f64. The
+        # reference holds atol=1e-15 only because its goldens share the
+        # producing binary's bit pattern.
+        acc_floor = 2.5e-12 * np.abs(b).max()
+        # reference-solver floor: the goldens were produced with stage
+        # solves converged only to ABSOLUTE tolerance 1e-10
+        # (timestepper.cpp:535-546 linsolve_abstol, both the GMRES and
+        # Neumann branches), so golden entries carry un-converged residual
+        # at that scale; measured worst committed deviation 5.2e-13
+        # absolute (xgate_sparsemat grad.dat), iteration-independent on
+        # our side (our solves converge to machine precision)
+        tol = (1e-7 * np.abs(b) + 1e-15 + _print_quantum(b, golden)
+               + acc_floor + 1e-12)
+        bad = diff > tol
+        assert not bad.any(), (
+            f"{os.path.basename(ours)}: {int(bad.sum())} entries beyond "
+            f"reference tolerance (worst diff {float(diff[bad].max()):.3e} "
+            f"at tol {float(tol[bad][np.argmax(diff[bad])]):.3e})")
+        return
     np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
                                err_msg=f"{os.path.basename(ours)}")
 
@@ -196,7 +258,7 @@ def _golden_first_row(name):
     return rows[0] if rows.ndim == 2 else rows
 
 
-def _check_iter0_row(datadir, name, rtol=1e-6):
+def _check_iter0_row(datadir, name, rtol=1e-6, gnorm_rtol=5e-3):
     """Iteration-0 history rows are deterministic (objective at the initial
     parameters): compare objective, fidelity, cost, Tikhonov and all penalty
     columns against the reference's golden row, and the gradient norm."""
@@ -208,22 +270,20 @@ def _check_iter0_row(datadir, name, rtol=1e-6):
     for col in (1, 4, 5, 6, 7, 8, 9, 10):
         np.testing.assert_allclose(ours0[col], gold0[col], rtol=rtol,
                                    atol=1e-12, err_msg=f"{name} col {col}")
-    # Column 2 (gradient norm) is intentionally loose. Investigated in
-    # depth (round 2): TAO's history gnorm IS the plain 2-norm of the
-    # reference's gradient (verified == ||grad.dat||_2 to machine precision
-    # on AxC_grad_schroedinger / AxC_grad_initBasis0 / xgate_sparsemat);
-    # our gradient is FD-exact (central differences, rel err ~1e-9) against
-    # an objective that matches the reference's value columns at rtol 1e-6
-    # over the full horizon; and where the reference commits a grad.dat we
-    # match it at 1e-6. Yet the OPTIMIZATION cases' iteration-0 history
-    # gnorm differs from our (exact) norm by 0.3% (state-to-state) to 4%
-    # (xgate) with x0 strictly interior (no projection involved) — i.e.
-    # those golden rows carry the reference's own adjoint/history
-    # inaccuracy, not a definitional difference. For cnot (x0 fully
-    # bound-clipped) the remaining gap is TAO's banded active-set estimate
-    # vs the exact at-bound projection.
-    np.testing.assert_allclose(ours0[2], gold0[2], rtol=0.2, atol=1e-8,
-                               err_msg=f"{name} gnorm (loose)")
+    # Column 2 (gradient norm): SOLVED in round 3 by reproduction
+    # (tests/test_gnorm_investigation.py). TAO's bounded-solver history
+    # gnorm is the FISCHER-BURMEISTER residual norm (PETSc VecFischer),
+    # not the projected-gradient norm — computed on our FD-exact gradient
+    # it reproduces the goldens to 4e-13 (xgate, interior) and 5e-10
+    # (cnot, fully bound-clipped); the round-2 "0.3-4% reference history
+    # inaccuracy" theory was wrong for those two. Our optimizers now
+    # report/converge on the same residual (lbfgsb.bounded_residual), so
+    # this column compares at 5e-3 — the remaining slack covers
+    # state-to-state_spline0's genuine 2.6e-3 gradient-level deviation
+    # (equal under EVERY residual definition, i.e. a real tiny gradient
+    # difference, consistent with the reference's 1e-10-abstol solves).
+    np.testing.assert_allclose(ours0[2], gold0[2], rtol=gnorm_rtol,
+                               atol=1e-8, err_msg=f"{name} gnorm")
 
 
 def test_xgate_optimization_quality(tmp_path):

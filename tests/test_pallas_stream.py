@@ -456,3 +456,115 @@ def test_stack_cotangents_fd():
             got = float(g[k, i, j])
             assert abs(got - fd) < 2e-2 * max(1.0, abs(fd)), \
                 (name, k, i, j, got, fd)
+
+
+def test_streamk_matches_stream_all_solvers():
+    """make_streamk_propagate (in-kernel plane contraction, coefficient
+    cotangents emitted directly) must reproduce make_stream_propagate for
+    every solver mode: values bit-exact, gradients to f32 reduction-order
+    rounding. The streamK path never materializes the (ntime, P, P) plane
+    arrays in HBM — it exists to kill that glue (the dominant cost of the
+    open-system fused path, PERF.md)."""
+    from quandary_tpu.ops.pallas_adjoint import plane_args
+    from quandary_tpu.ops.pallas_stream import (make_stream_propagate,
+                                                make_streamk_propagate)
+
+    rng = np.random.default_rng(0)
+    K, N, B, ntime = 4, 12, 3, 9
+    stack = (rng.normal(size=(K, N, N))
+             + 1j * rng.normal(size=(K, N, N))).astype(np.complex64)
+    Sr, Si = plane_args(stack)
+    x0 = (rng.normal(size=(B, N))
+          + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    C = rng.normal(size=(ntime, K)).astype(np.float32) * 0.3
+    gen_diag = (-1j * np.diag(stack[0])).astype(np.complex128)
+
+    for solver in ("neumann", "jacobi", "split"):
+        p1 = make_stream_propagate(stack, 0.01, 3, gen_diag=gen_diag,
+                                   linsolver=solver, interpret=True)
+        p2 = make_streamk_propagate(stack, 0.01, 3, gen_diag=gen_diag,
+                                    linsolver=solver, interpret=True)
+
+        def loss(f):
+            def g(C_):
+                xT, hist = f(jnp.asarray(Sr), jnp.asarray(Si),
+                             jnp.asarray(x0), C_)
+                return (jnp.sum(jnp.abs(xT) ** 2)
+                        + 0.1 * jnp.sum(jnp.abs(hist) ** 2))
+            return g
+
+        v1, g1 = jax.value_and_grad(loss(p1))(jnp.asarray(C))
+        v2, g2 = jax.value_and_grad(loss(p2))(jnp.asarray(C))
+        # the in-kernel contraction sums the K slots in a different order
+        # than the XLA tensordot -> 1-ulp f32 plane differences
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6,
+                                   err_msg=solver)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=0, atol=2e-6 * float(
+                                       jnp.abs(g1).max()),
+                                   err_msg=solver)
+
+
+def test_streamk_problem_parity_closed_and_lindblad():
+    """Full objective/gradient parity of pallas_mode='streamk' against
+    'stream' through Problem, closed AND open (vec(rho) pseudo-Hamiltonian)
+    systems."""
+    import dataclasses
+
+    from __graft_entry__ import _build_problem
+    from quandary_tpu.problem import Problem
+
+    for lind in (False, True):
+        prob0, setup = _build_problem(ntime=12, T=2.0, lindblad=lind)
+        pS = Problem(dataclasses.replace(setup, pallas=True,
+                                         pallas_mode="stream"))
+        pK = Problem(dataclasses.replace(setup, pallas=True,
+                                         pallas_mode="streamk"))
+        assert pS.use_pallas and pK.use_pallas
+        rng = np.random.default_rng(3)
+        params = jnp.asarray(rng.normal(size=setup.nparams) * 0.02,
+                             jnp.float32)
+        (JS, _), gS = jax.jit(jax.value_and_grad(
+            pS.objective, has_aux=True))(params, params)
+        (JK, _), gK = jax.jit(jax.value_and_grad(
+            pK.objective, has_aux=True))(params, params)
+        assert float(JS) == float(JK), lind
+        np.testing.assert_allclose(
+            np.asarray(gK), np.asarray(gS), rtol=0,
+            atol=5e-7 * float(jnp.abs(gS).max()), err_msg=str(lind))
+
+
+def test_streamk_stack_cotangents_are_zero_by_contract():
+    """The streamK vjp returns ZERO stack cotangents by documented design
+    (the plane cotangents are never materialized). This test pins that the
+    zeros are the declared contract — anyone differentiating the stacks
+    must use make_stream_propagate — while the C gradient stays exact."""
+    from quandary_tpu.ops.pallas_adjoint import plane_args
+    from quandary_tpu.ops.pallas_stream import (make_stream_propagate,
+                                                make_streamk_propagate)
+
+    rng = np.random.default_rng(1)
+    K, N, B, ntime = 3, 8, 2, 6
+    stack = (rng.normal(size=(K, N, N))
+             + 1j * rng.normal(size=(K, N, N))).astype(np.complex64)
+    Sr, Si = plane_args(stack)
+    x0 = (rng.normal(size=(B, N))
+          + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    C = rng.normal(size=(ntime, K)).astype(np.float32) * 0.3
+
+    pK = make_streamk_propagate(stack, 0.01, 3, linsolver="neumann",
+                                interpret=True)
+    pS = make_stream_propagate(stack, 0.01, 3, linsolver="neumann",
+                               interpret=True)
+
+    def loss(f, Sr_, Si_):
+        xT, hist = f(Sr_, Si_, jnp.asarray(x0), jnp.asarray(C))
+        return jnp.sum(jnp.abs(xT) ** 2)
+
+    gK = jax.grad(loss, argnums=(1, 2))(pK, jnp.asarray(Sr),
+                                        jnp.asarray(Si))
+    gS = jax.grad(loss, argnums=(1, 2))(pS, jnp.asarray(Sr),
+                                        jnp.asarray(Si))
+    assert float(jnp.abs(gK[0]).max()) == 0.0
+    assert float(jnp.abs(gK[1]).max()) == 0.0
+    assert float(jnp.abs(gS[0]).max()) > 0.0   # the stream path has them
