@@ -298,6 +298,8 @@ def _run_bench(device: str, pallas="auto", results_path=None):
         problem, setup = build_problem(pallas=pallas)
     engine = ("pallas-fused-split" if pallas == "split" else "pallas-fused") \
         if problem.use_pallas else "xla-scan"
+    if problem.use_pallas and setup.pallas_mode == "streamk":
+        engine += "-streamk"
     vg = problem.build_value_and_grad()
     params = jnp.asarray(np.random.default_rng(1234).uniform(
         -1, 1, setup.nparams) * 0.005, dtype=jnp.float32)

@@ -161,7 +161,15 @@ class Setup:
     # cap, supports the Jacobi-preconditioned stage solve for stiff
     # systems); 'chunk' keeps the Tc-steps-per-launch kernels
     # (ops/pallas_adjoint.py) as a cross-check path.
-    pallas_mode: str = "stream"
+    # 'streamk' (default): grid-streamed kernels with IN-KERNEL plane
+    # contraction — the (ntime, P, P) Hamiltonian plane arrays never hit
+    # HBM (measured: closed E=32 flagship 286 -> 342 sweeps/s, guarded
+    # open CNOT 41 -> 47). 'stream': planes materialized by XLA and
+    # streamed per step (needed when the operator STACKS themselves are
+    # differentiated, e.g. Hamiltonian calibration — streamk returns zero
+    # stack cotangents by documented contract). 'chunk': Tc-steps-per-
+    # launch cross-check path.
+    pallas_mode: str = "streamk"
     # Time-parallel propagation (ops/propagator.py): 'auto' enables it for
     # small dense systems where ntime * dim^2 fits comfortably in memory;
     # True forces, False disables (sequential lax.scan).
