@@ -133,13 +133,23 @@ def run(config_path: str, quiet: bool = True, datadir_override: str = None) -> d
         # control<k>.dat + optim_state.npz rewritten every monitor interval
         # (driver.run_optimization); a killed run resumes from the
         # checkpoint via resume=True.
-        res = run_optimization(
-            problem, params0, *build_bounds(setup.oscillators, spec.control_bounds),
+        import jax as _jax
+        use_device = (spec.optim_driver == "device"
+                      or (spec.optim_driver == "auto"
+                          and _jax.default_backend() == "tpu"))
+        driver_kw = dict(
             maxiter=spec.maxiter, gatol=spec.gatol, grtol=spec.grtol,
             fatol=spec.fatol, inftol=spec.inftol,
             monitor_freq=spec.optim_monitor_freq, verbose=not quiet,
-            datadir=datadir, output_frequency=spec.output_frequency,
-            resume=spec.warmstart)
+            datadir=datadir, output_frequency=spec.output_frequency)
+        bounds = build_bounds(setup.oscillators, spec.control_bounds)
+        if use_device:
+            from .optim.device_driver import run_optimization_device
+            res = run_optimization_device(problem, params0, *bounds,
+                                          **driver_kw)
+        else:
+            res = run_optimization(problem, params0, *bounds,
+                                   resume=spec.warmstart, **driver_kw)
         out_io.write_params(os.path.join(datadir, "params.dat"), res.params)
         _write_controls(problem, datadir, res.params, spec.output_frequency)
         _write_trajectories(problem, setup, spec, datadir, res.params)

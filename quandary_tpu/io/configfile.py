@@ -212,6 +212,14 @@ class RunSpec:
                                       # (extension key `optim_resume`; the
                                       # reference's warm start is params-only
                                       # via control_initialization = file)
+    optim_driver: str = "host"        # host | device | auto (extension key:
+                                      # 'device' runs the chunked on-device
+                                      # L-BFGS-B loop, optim/device_driver.py;
+                                      # 'auto' selects it on TPU backends.
+                                      # CLI default is 'host' — the
+                                      # reference-faithful f64 Wolfe driver —
+                                      # so config-file golden parity is
+                                      # backend-independent)
 
 
 def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
@@ -480,5 +488,6 @@ def setup_from_config(cfg: Config, workdir: str = ".") -> Tuple[Setup, RunSpec]:
         control_bounds=bounds,
         warmstart=cfg.get_str("optim_resume", "false").lower() in
         ("true", "yes", "1"),
+        optim_driver=cfg.get_str("optim_driver", "host").lower(),
     )
     return setup, runspec

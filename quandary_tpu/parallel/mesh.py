@@ -16,8 +16,14 @@ Axes:
       the diagonal cross-Kerr mask stay fully LOCAL; only the left GEMM
       H_L @ X needs a collective (one all-gather/reduce-scatter of the state
       per RHS application, shared by all left products), riding ICI.
-    - TensorEngine:  'init' axis only (falls back to replicated state over
-      'hilbert'; the per-axis contraction layout has no aligned shard axis).
+    - TensorEngine:  flat (B, N) sharded on N (round 3): GSPMD propagates
+      the sharding through the (B, n1..nQ) reshape to the leading tensor
+      factor and inserts the per-axis contractions' collectives.
+
+Additionally the ENSEMBLE/candidate axis — the one carrying the headline
+throughput metric — shards via shard_map
+(Problem.build_ensemble_{value_and_grad,sweeps}(mesh=...)): each device
+runs the full fused-Pallas program on its E/n slice (comm_init analog).
 
 The reference's comm_optim (time parallelism) is stubbed at size 1 there
 (main.cpp:140-143); here the associative-scan time-parallel path

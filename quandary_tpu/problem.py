@@ -430,13 +430,17 @@ class Problem:
         ndim = ndim if ndim is not None else np.ndim(self.x0)
         tail = [None] * (ndim - 1)
         if self.shard_hilbert:
-            if isinstance(self.engine, TensorEngine):
-                pass        # no aligned shard axis; state replicated over
-                            # 'hilbert' (init-axis parallelism only)
-            elif isinstance(self.engine, GroupedEngine) and ndim == 3:
+            if isinstance(self.engine, GroupedEngine) and ndim == 3:
                 tail[0] = "hilbert"     # (B, m1, m2) planes: shard m1
             else:
-                tail[-1] = "hilbert"    # flat (B, N) or Lindblad (B, N, N)
+                # flat (B, N) / Lindblad (B, N, N) — including the
+                # TensorEngine (round 3): GSPMD propagates the flat-N
+                # sharding through the (B, n1..nQ) reshape to the leading
+                # tensor factor and inserts the collectives the per-axis
+                # contractions need; sharded-vs-unsharded parity is pinned
+                # in test_sharding.py (round-1's "no aligned shard axis"
+                # replication was overly conservative)
+                tail[-1] = "hilbert"
         return P("init", *tail)
 
     def _shard_state(self, x):

@@ -116,3 +116,46 @@ def test_device_driver_maxiter_respected():
                                   jnp.asarray(np.asarray(params0)))
     np.testing.assert_allclose(float(J), res.history[-1].objective,
                                rtol=1e-9, atol=1e-12)
+
+
+def test_cli_optim_driver_device(tmp_path):
+    """optim_driver = device config key routes the CLI optimization
+    through the on-device chunked loop, producing the standard durable
+    outputs."""
+    from quandary_tpu.cli import run as cli_run
+
+    cfg = """
+nlevels = 2, 2
+nessential = 2, 2
+ntime = 20
+dt = 0.1
+transfreq = 4.10595, 4.81
+rotfreq = 4.10595, 4.81
+selfkerr = 0.2198, 0.2252
+Jkl = 0.005
+carrier_frequency0 = 0.0
+carrier_frequency1 = 0.0
+control_segments0 = spline, 5
+control_segments1 = spline, 5
+control_initialization0 = constant, 0.002
+control_initialization1 = constant, 0.002
+control_bounds0 = 0.008
+control_bounds1 = 0.008
+initialcondition = basis
+optim_target = gate, cnot
+optim_objective = Jtrace
+gamma_tik0 = 1e-4
+optim_maxiter = 6
+optim_monitor_frequency = 2
+optim_driver = device
+datadir = {datadir}
+runtype = optimization
+"""
+    d = str(tmp_path / "dev_cli")
+    p = tmp_path / "dev.cfg"
+    p.write_text(cfg.format(datadir=d))
+    res = cli_run(str(p), quiet=True)
+    h = np.atleast_2d(np.loadtxt(os.path.join(d, "optim_history.dat")))
+    assert int(h[-1, 0]) == 6
+    assert os.path.exists(os.path.join(d, "params.dat"))
+    assert res["objective"] < h[0, 1] + 1e-12   # made progress (or equal)
