@@ -876,3 +876,315 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
 
     propagate.defvjp(fwd2, bwd2)
     return propagate
+
+
+def packed_group_size(dim: int) -> int:
+    """Number of candidates the packed streamK kernel fits into one 128-lane
+    tile at state dimension `dim` (1 when packing buys nothing)."""
+    return max(1, 128 // int(dim))
+
+
+def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
+                                  gen_diag=None, linsolver: str = "neumann",
+                                  group: int = None, interpret: bool = False):
+    """LANE-PACKED streamK: G control candidates propagate through ONE
+    kernel program by packing their states into disjoint N-lane segments of
+    the 128-lane tile and their Hamiltonians into the matching diagonal
+    blocks of the (P, P) planes.
+
+    Why: at the flagship's N=16 the plain kernels pad the state to P=128
+    lanes, so every MXU issue carries 16/128 useful lanes and every VPU
+    plane op serves one candidate. The per-candidate planes are independent,
+    but a BLOCK-DIAGONAL plane H = diag(H_0..H_{G-1}) applies each
+    candidate's Hamiltonian to its own lane segment in the SAME
+    (Bp, P) @ (P, P) dot — G = floor(128/N) candidates per issue (8 at
+    N=16), cutting per-candidate MXU issues, VPU plane contractions, and
+    history HBM traffic by G.
+
+    Mechanics (all consequences of the block structure):
+    * operator stacks expand to I_G (x) S_k (still (Ke, P, P) VMEM — same
+      footprint as unpacked);
+    * per-step coefficients become (Ke, P) lane rows r_k with
+      r_k[g*N + i] = c[n, g, k]; the in-kernel contraction
+      H = sum_k r_k[None, :] * T_k is exact because T_k is zero off-block,
+      and the same COLUMN broadcast also builds H^T (within a block the
+      row and column coefficients agree);
+    * the backward emits per-lane cotangent rows (column sums of
+      Hb * T_k); the per-candidate coefficient cotangent is their
+      block-segment sum, done outside in XLA.
+
+    Contract: propagate(Sr, Si, x0, Cg) -> (xT, hist) with Cg (ntime, G, K)
+    — one coefficient row per candidate — x0 (B, N) SHARED across the
+    group (the ensemble semantics: same initial conditions, different
+    controls), xT (G, B, N), hist (ntime, G, B, N). Differentiable in x0
+    and Cg; stack cotangents are zero by the same contract (and for the
+    same reason) as make_streamk_propagate."""
+    stack = np.asarray(stack)
+    K, N, _ = stack.shape
+    G = int(group) if group is not None else packed_group_size(N)
+    if G < 1:
+        raise ValueError(f"group must be >= 1, got {G}")
+    NG = G * N
+    P = _round_up(NG, 128)
+    dt = float(dt)
+    iters = int(iters)
+    jac_np = split_np = None
+    diag_slot = None
+    # per-block tiling of the (time-independent) generator diagonal: every
+    # candidate shares the same drift, so the packed diagonal is G copies
+    gd_tiled = None
+    if gen_diag is not None:
+        gd_tiled = np.tile(np.asarray(gen_diag, dtype=np.complex128
+                                      ).reshape(-1), G)
+    if linsolver == "jacobi":
+        if gen_diag is None:
+            raise ValueError("jacobi streamed solve requires gen_diag")
+        jac_np = _jacobi_planes(gd_tiled, dt, NG, P)
+    elif linsolver == "split":
+        if gen_diag is None:
+            raise ValueError("split streamed stepper requires gen_diag")
+        split_np = _split_planes(gd_tiled, dt, NG, P)
+        d = np.zeros((P,), np.complex128)
+        d[:NG] = gd_tiled
+        h = 1j * d
+        # diag(h) is diagonal, so its I_G-block form is just the tiled diag
+        diag_slot = (np.diag(h.real).astype(np.float32),
+                     np.diag(h.imag).astype(np.float32))
+    elif linsolver != "neumann":
+        raise ValueError(f"packed streamK supports neumann/jacobi/split, "
+                         f"got {linsolver!r}")
+    Ke = K + (1 if diag_slot is not None else 0)
+    n_rows = 4 if jac_np is not None else (2 if split_np is not None else 0)
+    store_iters = iters <= 4
+
+    vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
+    cparams = {} if not _HAVE_PLTPU else {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))}
+
+    def _row_args():
+        rows = jac_np if jac_np is not None else split_np
+        return tuple(jnp.asarray(p) for p in rows) if rows else ()
+
+    def _pack(x0):
+        """(B, N) complex -> (Bp, P) f32 planes, x0 tiled into each of the
+        G lane blocks."""
+        B = x0.shape[0]
+        Bp = _round_up(B, 8)
+        xr = jnp.zeros((Bp, P), jnp.float32).at[:B, :NG].set(
+            jnp.tile(jnp.real(x0).astype(jnp.float32), (1, G)))
+        xi = jnp.zeros((Bp, P), jnp.float32).at[:B, :NG].set(
+            jnp.tile(jnp.imag(x0).astype(jnp.float32), (1, G)))
+        return xr, xi
+
+    def _unpack_hist(hr, hi, B, dtype):
+        # (T, Bp, P) -> (T, G, B, N): lane block g is candidate g
+        h = (hr[:, :B, :NG] + 1j * hi[:, :B, :NG]).astype(dtype)
+        return h.reshape(h.shape[0], B, G, N).transpose(0, 2, 1, 3)
+
+    def _unpack_xT(a, b, B, dtype):
+        x = (a[:B, :NG] + 1j * b[:B, :NG]).astype(dtype)
+        return x.reshape(B, G, N).swapaxes(0, 1)
+
+    def _expand_stacks(Sr, Si):
+        """Operator planes (K, n, n) with n >= N (plane_args pads to 128;
+        only the [:N, :N] block is meaningful) -> block-diagonal (Ke, P, P)
+        = I_G (x) S_k (+ the split-diagonal slot), plus transposes."""
+        eyeG = jnp.eye(G, dtype=Sr.dtype)
+
+        def ex(S):
+            Sg = jax.vmap(lambda s: jnp.kron(eyeG, s))(S[:, :N, :N])
+            if NG < P:
+                Sg = jnp.pad(Sg, ((0, 0), (0, P - NG), (0, P - NG)))
+            return Sg
+
+        Srg, Sig = ex(Sr), ex(Si)
+        if diag_slot is not None:
+            Srg = jnp.concatenate(
+                [Srg, -jnp.asarray(diag_slot[0])[None]], axis=0)
+            Sig = jnp.concatenate(
+                [Sig, -jnp.asarray(diag_slot[1])[None]], axis=0)
+        return Srg, Sig, jnp.swapaxes(Srg, -1, -2), jnp.swapaxes(Sig, -1, -2)
+
+    def _rows_C(Cg):
+        """(ntime, G, K) -> (ntime, Ke, P) per-lane coefficient rows:
+        rows[n, k, g*N + i] = Cg[n, g, k]; the split-diagonal slot gets
+        coefficient 1 on every occupied lane."""
+        ntime = Cg.shape[0]
+        base = jnp.swapaxes(Cg.astype(jnp.float32), 1, 2)   # (ntime, K, G)
+        rep = jnp.repeat(base, N, axis=2)                   # (ntime, K, NG)
+        Rp = jnp.zeros((ntime, Ke, P), jnp.float32)
+        Rp = Rp.at[:, :K, :NG].set(rep)
+        if diag_slot is not None:
+            Rp = Rp.at[:, K, :NG].set(1.0)
+        return Rp
+
+    def _contract(r_ref, Sa_ref, Sb_ref):
+        """H = sum_k r_k (column-broadcast) * S_k. Valid for BOTH the plane
+        and its transpose: T_k is zero off-block and r_k is constant within
+        a block, so row- and column-broadcast agree where T_k != 0. Rows are
+        kept (1, P)-shaped (lane vectors) for the Mosaic lowering."""
+        Hr = r_ref[0, 0:1] * Sa_ref[0]
+        Hi = r_ref[0, 0:1] * Sb_ref[0]
+        for k in range(1, Ke):
+            Hr = Hr + r_ref[0, k:k + 1] * Sa_ref[k]
+            Hi = Hi + r_ref[0, k:k + 1] * Sb_ref[k]
+        return Hr, Hi
+
+    def _split_rows(refs):
+        if jac_np is not None:
+            dr, di_, mr_, mi_ = refs
+            return (dr[:], di_[:], mr_[:], mi_[:]), None
+        if split_np is not None:
+            er, ei_ = refs
+            return None, (er[:], ei_[:])
+        return None, None
+
+    stack_spec_shape = (Ke, P, P)
+
+    def _fwd_call(nsteps, Bp):
+        const3 = pl.BlockSpec(stack_spec_shape, lambda i: (0, 0, 0), **vmem)
+        crow = pl.BlockSpec((1, Ke, P), lambda i: (i, 0, 0), **vmem)
+        full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
+        row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
+        in_specs = [const3, const3, crow, full, full] + [row] * n_rows
+
+        def body(*refs):
+            SrT_ref, SiT_ref, r_ref, x0r, x0i = refs[:5]
+            jac, split = _split_rows(refs[5:5 + n_rows])
+            outs = refs[5 + n_rows:]
+            xr, xi, hr, hi = outs[:4]
+            ks_refs = outs[4:6] if store_iters else None
+            HrT, HiT = _contract(r_ref, SrT_ref, SiT_ref)
+            _fwd_body(HrT, HiT, x0r, x0i, xr, xi, hr, hi, ks_refs,
+                      dt=dt, iters=iters, jac=jac, split=split)
+
+        hist_spec = pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem)
+        out_shape = (jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2 \
+            + (jax.ShapeDtypeStruct((nsteps, Bp, P), jnp.float32),) * 2
+        out_specs = (full, full, hist_spec, hist_spec)
+        if store_iters:
+            ks_spec = pl.BlockSpec((1, iters * Bp, P),
+                                   lambda i: (i, 0, 0), **vmem)
+            out_shape = out_shape + (jax.ShapeDtypeStruct(
+                (nsteps, iters * Bp, P), jnp.float32),) * 2
+            out_specs = out_specs + (ks_spec, ks_spec)
+        return pl.pallas_call(
+            body,
+            grid=(nsteps,),
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+            **cparams)
+
+    def _bwd_call(nsteps, Bp):
+        const3 = pl.BlockSpec(stack_spec_shape, lambda i: (0, 0, 0), **vmem)
+        crow_rev = pl.BlockSpec((1, Ke, P),
+                                lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                                **vmem)
+        revs = pl.BlockSpec((1, Bp, P),
+                            lambda i, n=nsteps: (n - 1 - i, 0, 0), **vmem)
+        revp = pl.BlockSpec(
+            (1, Bp, P),
+            lambda i, n=nsteps: (jnp.maximum(n - 2 - i, 0), 0, 0), **vmem)
+        full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
+        row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
+        in_specs = [const3, const3, crow_rev, revp, revp, revs, revs,
+                    full, full, full, full] + [row] * n_rows
+        if store_iters:
+            revks = pl.BlockSpec((1, iters * Bp, P),
+                                 lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                                 **vmem)
+            in_specs += [revks, revks]
+
+        def body(*refs):
+            (Sr_ref, Si_ref, r_ref, xpr, xpi, jr, ji, gTr, gTi,
+             x0r, x0i) = refs[:11]
+            jac, split = _split_rows(refs[11:11 + n_rows])
+            rest = refs[11 + n_rows:]
+            ks_refs = rest[:2] if store_iters else None
+            gr, gi, Rb = rest[2:] if store_iters else rest
+            Hr, Hi = _contract(r_ref, Sr_ref, Si_ref)
+
+            def emit_Hb(br, bi):
+                # per-lane cotangent rows: s_k[j] = sum_i Hb[i,j] T_k[i,j]
+                # (column sums of the masked plane cotangent); the
+                # per-candidate coefficient cotangent is the block-segment
+                # sum of s_k, done outside in XLA
+                parts = [jnp.sum(br * Sr_ref[k] + bi * Si_ref[k],
+                                 axis=0, keepdims=True)
+                         for k in range(Ke)]
+                Rb[...] = jnp.concatenate(parts, axis=0)[None]
+
+            _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
+                      x0r, x0i, gr, gi, emit_Hb, ks_refs, nsteps=nsteps,
+                      dt=dt, iters=iters, jac=jac, split=split)
+
+        crow_out = pl.BlockSpec((1, Ke, P),
+                                lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                                **vmem)
+        return pl.pallas_call(
+            body,
+            grid=(nsteps,),
+            out_shape=(jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2
+            + (jax.ShapeDtypeStruct((nsteps, Ke, P), jnp.float32),),
+            in_specs=in_specs,
+            out_specs=(full, full, crow_out),
+            interpret=interpret,
+            **cparams)
+
+    def _run_forward(Sr, Si, x0, Cg):
+        B, dtype = x0.shape[0], x0.dtype
+        ntime = Cg.shape[0]
+        xr0, xi0 = _pack(x0)
+        Bp = xr0.shape[0]
+        _, _, SrT, SiT = _expand_stacks(Sr, Si)
+        args = (SrT, SiT, _rows_C(Cg), xr0, xi0) + _row_args()
+        outs = _fwd_call(ntime, Bp)(*args)
+        xr, xi, hr, hi = outs[:4]
+        ks = outs[4:6] if store_iters else None
+        xT = _unpack_xT(xr, xi, B, dtype)
+        return xT, _unpack_hist(hr, hi, B, dtype), (hr, hi), ks
+
+    @jax.custom_vjp
+    def propagate(Sr, Si, x0, Cg):
+        xT, hist, _, _ = _run_forward(Sr, Si, x0, Cg)
+        return xT, hist
+
+    def fwd2(Sr, Si, x0, Cg):
+        xT, hist, planes, ks = _run_forward(Sr, Si, x0, Cg)
+        x0p = _pack(x0)
+        return (xT, hist), (Sr, Si, Cg, jnp.zeros_like(x0), planes, x0p, ks)
+
+    def bwd2(res, cots):
+        Sr, Si, Cg, x0_proto, (hr, hi), (x0r, x0i), ks = res
+        xT_bar, hist_bar = cots
+        B, dtype = x0_proto.shape[0], x0_proto.dtype
+        ntime = Cg.shape[0]
+        Bp = hr.shape[1]
+        Sre, Sie, _, _ = _expand_stacks(Sr, Si)
+
+        _, h_vjp = jax.vjp(lambda a, b: _unpack_hist(a, b, B, dtype), hr, hi)
+        jr, ji = h_vjp(hist_bar)
+
+        _, u_vjp = jax.vjp(lambda a, b: _unpack_xT(a, b, B, dtype),
+                           hr[-1], hi[-1])
+        gTr, gTi = u_vjp(xT_bar)
+
+        args = (Sre, Sie, _rows_C(Cg), hr, hi, jr, ji, gTr, gTi,
+                x0r, x0i) + _row_args()
+        if store_iters:
+            args = args + tuple(ks)
+        gr, gi, Rb = _bwd_call(ntime, Bp)(*args)
+
+        _, pk_vjp = jax.vjp(_pack, x0_proto)
+        (x0_bar,) = pk_vjp((gr, gi))
+        # rows -> per-candidate coefficients: block-segment sums
+        Cg_bar = Rb[:, :K, :NG].reshape(ntime, K, G, N).sum(-1
+                  ).swapaxes(1, 2).astype(Cg.dtype)
+        # stack cotangents intentionally zero — see builder docstring
+        return (jnp.zeros_like(Sr), jnp.zeros_like(Si), x0_bar, Cg_bar)
+
+    propagate.defvjp(fwd2, bwd2)
+    return propagate

@@ -879,6 +879,65 @@ class Problem:
             params, params_ref, xT,
             acc.get("leak"), acc.get("jt"), acc.get("dpdm"), energy_int)
 
+    @property
+    def pack_group(self):
+        """Lane-packing group size of the packed streamK ensemble kernel:
+        how many control candidates fit one 128-lane tile (8 at the
+        flagship's N=16). 1 disables packing — non-fused engines, non-IMR
+        steppers, or states that already fill the tile."""
+        s = self.setup
+        if not (self.use_pallas and s.pallas_mode == "streamk"
+                and self.nstages == 1):
+            return 1
+        from .ops.pallas_stream import packed_group_size
+        dim = self.N * self.N if self.lindblad else self.N
+        return packed_group_size(dim)
+
+    def _objective_group(self, Pg, params_ref):
+        """Objective of a GROUP of G control candidates through ONE
+        lane-packed streamK kernel program
+        (ops/pallas_stream.make_streamk_packed_propagate): the G states
+        occupy disjoint lane segments and the G Hamiltonians the matching
+        diagonal blocks of the (P, P) planes, so every MXU issue serves all
+        G candidates. Returns (sum_g J_g, (J (G,), aux)) — each J_g depends
+        only on Pg[g], so the gradient of the sum w.r.t. Pg IS the stacked
+        per-candidate gradients. Used by the ensemble builders when
+        pack_group > 1 (the multi-candidate analog of comm_init's
+        embarrassing parallelism, optimproblem.cpp:85-91, turned into MXU
+        lane occupancy instead of processes)."""
+        s = self.setup
+        G = Pg.shape[0]
+        Cs = jax.vmap(self.coeff_rows_mid)(Pg)        # (G, ntime, 1, K)
+        Cg = jnp.transpose(Cs[:, :, 0, :], (1, 0, 2))  # (ntime, G, K)
+        dim = self.N * self.N if self.lindblad else self.N
+        gd = self.gen_diag
+        if self.lindblad and gd is not None:
+            gd = np.asarray(gd).T.reshape(-1)
+        shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
+        from .ops.pallas_stream import make_streamk_packed_propagate
+        prop = make_streamk_packed_propagate(
+            shape_proto, s.dt, s.linsolve_iters, gen_diag=gd,
+            linsolver=self.linsolver, group=G,
+            interpret=self._pallas_interpret)
+        x0k = jnp.asarray(self.x0, dtype=s.dtype)
+        if self.lindblad:
+            x0k = x0k.transpose(0, 2, 1).reshape(self.ninit, dim)
+        xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
+                        jnp.asarray(self.engine.pallas_Si), x0k, Cg)
+        if self.lindblad:
+            xT = xT.reshape(G, self.ninit, self.N, self.N).swapaxes(-1, -2)
+            hist = hist.reshape(s.ntime, G, self.ninit, self.N, self.N
+                                ).swapaxes(-1, -2)
+
+        def tail(pg, xTg, histg):
+            pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(histg)
+            return self._assemble_objective(pg, params_ref, xTg, pen_leak_b,
+                                            pen_jt_b, pen_dpdm_b,
+                                            self._energy_integral(pg))
+
+        Js, aux = jax.vmap(tail, in_axes=(0, 0, 1))(Pg, xT, hist)
+        return jnp.sum(Js), (Js, aux)
+
     # ------------------------------------------------------------------
     # big-array argument threading
     #
@@ -974,6 +1033,38 @@ class Problem:
     def build_propagate_final(self):
         return self._wrap_with_data(self.propagate_final)
 
+    def _ensemble_vg(self):
+        """(E, nparams)-batched value_and_grad
+        fn(Ps, ref) -> ((J (E,), aux), grad (E, nparams)). Routes through
+        the lane-packed group kernel (_objective_group) when the fused
+        streamK path is active: candidates are evaluated in groups of
+        G = pack_group per kernel program (block-diagonal planes), vmapped
+        over E/G groups — ~G x fewer MXU issues than vmapping the
+        per-candidate program. Falls back to the plain per-candidate vmap
+        when packing is off or E has no usable group factor."""
+        vg = jax.value_and_grad(self.objective, has_aux=True)
+        base = jax.vmap(vg, in_axes=(0, None))
+        Gmax = self.pack_group
+        if Gmax <= 1:
+            return base
+        gvg = jax.value_and_grad(self._objective_group, has_aux=True)
+
+        def evg(Ps, params_ref):
+            E = Ps.shape[0]
+            # largest group size <= Gmax dividing E (static under jit)
+            G = next((g for g in range(min(Gmax, E), 0, -1) if E % g == 0))
+            if G <= 1:
+                return base(Ps, params_ref)
+            Pg = Ps.reshape(E // G, G, Ps.shape[-1])
+            (_, (Js, aux)), grads = jax.vmap(
+                gvg, in_axes=(0, None))(Pg, params_ref)
+            J = Js.reshape(E)
+            aux = jax.tree.map(
+                lambda a: a.reshape((E,) + a.shape[2:]), aux)
+            return (J, aux), grads.reshape(E, Ps.shape[-1])
+
+        return evg
+
     def _ensemble_shard(self, fn, mesh, axis, out_specs):
         """shard_map `fn(Ps, ref)` over the candidate (leading-Ps) axis of
         the mesh. Each device runs the FULL per-candidate program — fused
@@ -1017,8 +1108,7 @@ class Problem:
         (shard_map; each device runs its E/n slice through the full fused
         path) — the multi-chip scaling axis for the flagship throughput
         metric."""
-        vg = jax.value_and_grad(self.objective, has_aux=True)
-        evg = jax.vmap(vg, in_axes=(0, None))
+        evg = self._ensemble_vg()
         if mesh is None:
             return self._wrap_with_data(evg)
         from jax.sharding import PartitionSpec as P
@@ -1039,11 +1129,11 @@ class Problem:
         mesh's `axis`: Ps (reps, E, nparams) with E split n ways, one psum
         of the accumulated scalar at the end — per-chip work is exactly the
         unsharded program at E/n."""
-        vg = jax.value_and_grad(self.objective, has_aux=True)
+        evg = self._ensemble_vg()
 
         def reps(Ps, params_ref):
             def body(acc, P):
-                (J, _), g = jax.vmap(vg, in_axes=(0, None))(P, params_ref)
+                (J, _), g = evg(P, params_ref)
                 # cast: under x64 the objective promotes to f64 while the
                 # carry is the setup's real dtype
                 return (acc + jnp.sum(J) + jnp.sum(g)).astype(acc.dtype), None

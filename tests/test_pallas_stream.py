@@ -568,3 +568,100 @@ def test_streamk_stack_cotangents_are_zero_by_contract():
     assert float(jnp.abs(gK[0]).max()) == 0.0
     assert float(jnp.abs(gK[1]).max()) == 0.0
     assert float(jnp.abs(gS[0]).max()) > 0.0   # the stream path has them
+
+
+@pytest.mark.parametrize("solver", ["neumann", "jacobi", "split"])
+def test_packed_matches_streamk_per_candidate(solver):
+    """make_streamk_packed_propagate (G candidates lane-packed into one
+    kernel program via block-diagonal planes) must reproduce the unpacked
+    streamK kernel per candidate: final states, histories, and the Cg/x0
+    gradients. G=5 at N=12 exercises NG=60 < P=128 padding."""
+    from quandary_tpu.ops.pallas_adjoint import plane_args
+    from quandary_tpu.ops.pallas_stream import (
+        make_streamk_packed_propagate, make_streamk_propagate)
+
+    rng = np.random.default_rng(7)
+    K, N, B, dt, ntime, iters, G = 4, 12, 3, 0.02, 9, 3, 5
+    stack = (rng.normal(size=(K, N, N))
+             + 1j * rng.normal(size=(K, N, N))).astype(np.complex64)
+    gen_diag = (-1j * np.diag(stack[0])).astype(np.complex128)
+    x0 = (rng.normal(size=(B, N))
+          + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    Cg = jnp.asarray(rng.normal(size=(ntime, G, K)) * 0.3, jnp.float32)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+    tgt = (rng.normal(size=(G, B, N))
+           + 1j * rng.normal(size=(G, B, N))).astype(np.complex64)
+    wt = jnp.asarray(rng.uniform(0.1, 1.0, ntime).astype(np.float32))
+
+    sk = make_streamk_propagate(stack, dt, iters, gen_diag=gen_diag,
+                                linsolver=solver, interpret=True)
+    pk = make_streamk_packed_propagate(stack, dt, iters, gen_diag=gen_diag,
+                                       linsolver=solver, group=G,
+                                       interpret=True)
+
+    def loss_packed(Cg_, x0_):
+        xT, hist = pk(Sr, Si, jnp.asarray(x0_), Cg_)
+        ov = jnp.sum(jnp.conj(jnp.asarray(tgt)) * xT, axis=-1)
+        return (jnp.sum(jnp.abs(ov) ** 2)
+                + 0.25 * jnp.sum(wt[:, None, None, None]
+                                 * jnp.abs(hist) ** 2))
+
+    def loss_unpacked(Cg_, x0_):
+        tot = 0.0
+        outs = []
+        for g in range(G):
+            xT, hist = sk(Sr, Si, jnp.asarray(x0_), Cg_[:, g, :])
+            ov = jnp.sum(jnp.conj(jnp.asarray(tgt)[g]) * xT, axis=-1)
+            tot = (tot + jnp.sum(jnp.abs(ov) ** 2)
+                   + 0.25 * jnp.sum(wt[:, None, None] * jnp.abs(hist) ** 2))
+            outs.append((xT, hist))
+        return tot, outs
+
+    _, outs = loss_unpacked(Cg, x0)
+    xTp, histp = pk(Sr, Si, jnp.asarray(x0), Cg)
+    for g in range(G):
+        np.testing.assert_allclose(np.asarray(xTp[g]),
+                                   np.asarray(outs[g][0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(histp[:, g]),
+                                   np.asarray(outs[g][1]), atol=1e-6)
+
+    v1, g1 = jax.value_and_grad(loss_packed, argnums=(0, 1))(Cg, x0)
+    v0, g0 = jax.value_and_grad(
+        lambda c, x: loss_unpacked(c, x)[0], argnums=(0, 1))(Cg, x0)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-6)
+    for a, b in zip(g0, g1):
+        sc = max(float(jnp.abs(a).max()), 1e-30)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=2e-5 * sc)
+
+
+@pytest.mark.parametrize("lind", [False, True])
+def test_packed_ensemble_problem_parity(lind):
+    """Problem._ensemble_vg with pack_group > 1 (lane-packed group kernel)
+    must reproduce the per-candidate vmapped value_and_grad: J, gradients,
+    and every aux column, for closed AND open (vec(rho)) systems."""
+    import dataclasses
+
+    from __graft_entry__ import _build_problem
+    from quandary_tpu.problem import Problem
+
+    _, setup = _build_problem(ntime=12, T=2.0, lindblad=lind)
+    pK = Problem(dataclasses.replace(setup, pallas=True,
+                                     pallas_mode="streamk"))
+    assert pK.use_pallas and pK.pack_group > 1
+    rng = np.random.default_rng(3)
+    E = 2 * pK.pack_group
+    Ps = jnp.asarray(rng.normal(size=(E, setup.nparams)) * 0.02, jnp.float32)
+    params = jnp.zeros((setup.nparams,), jnp.float32)
+
+    base = jax.vmap(jax.value_and_grad(pK.objective, has_aux=True),
+                    in_axes=(0, None))
+    (J0, aux0), g0 = jax.jit(base)(Ps, params)
+    (J1, aux1), g1 = jax.jit(pK._ensemble_vg())(Ps, params)
+    np.testing.assert_allclose(np.asarray(J1), np.asarray(J0), rtol=5e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=0,
+        atol=5e-6 * float(jnp.abs(g0).max()))
+    for k in aux0:
+        np.testing.assert_allclose(np.asarray(aux1[k]), np.asarray(aux0[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
