@@ -345,16 +345,18 @@ def _run_bench(device: str, pallas="auto", results_path=None):
     emit({"stage": f"single-pipelined-done:{device}",
           "single_pipelined": round(single_per_s, 3)})
 
-    # 2) ensemble throughput: E control candidates per call (vmapped), n
-    # repetitions SCANNED inside one jit — the chip's aggregate
+    # 2) ensemble throughput: E control candidates per call (grouped
+    # lane-packed kernels, G = pack_group candidates per kernel program),
+    # n repetitions SCANNED inside one jit — the chip's aggregate
     # gradient-sweep rate. A production optimization driver pipelines
     # calls exactly like this; per-call host round-trips would otherwise
     # charge the remote relay's RTT (~30-90 ms) to every repetition. The
     # result is still fetched synchronously ONCE (async completion signals
-    # are unreliable through proxy backends). E=32 measured ~15% over E=16
-    # on the TPU split kernels; CPU stays at 16 to bound safety-net
-    # latency.
-    E = 32 if device == "tpu" else 16
+    # are unreliable through proxy backends). Packed-kernel E sweep on the
+    # v5e (scripts/perf/packed_bench.py): 8 -> 1940, 32 -> 2701,
+    # 64 -> 3061, 128 -> 3301, 256 -> 3050, 512 -> 3329 sweeps/s — E=128
+    # is the plateau knee; CPU stays at 16 to bound safety-net latency.
+    E = 128 if device == "tpu" else 16
     n = 6
     Ps = jnp.asarray(rng.uniform(-1, 1, (n, E, setup.nparams)) * 0.005,
                      dtype=jnp.float32)

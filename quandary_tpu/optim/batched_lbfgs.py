@@ -53,10 +53,16 @@ def batched_lbfgsb(
     history: int = 8,
     ls_lengths: int = 10,
     c1: float = 1e-4,
+    objective_batch: Callable = None,
+    grad_batch: Callable = None,
 ):
     """Run `iters` projected L-BFGS iterations for every candidate.
 
-    objective(x) -> scalar; grad(x) -> (n,). Both are vmapped internally.
+    objective(x) -> scalar; grad(x) -> (n,). Both are vmapped internally —
+    unless `objective_batch(xs (E, n)) -> (E,)` / `grad_batch(xs) -> (E, n)`
+    are supplied, which REPLACE the vmaps (used to route the population
+    through Problem's lane-packed group kernels, where G candidates share
+    each MXU issue instead of vmapping G kernel programs).
     Returns (x_best (E, n), f_best (E,), f_trace (iters+1, E)).
     """
     lb = jnp.asarray(lb)
@@ -64,8 +70,9 @@ def batched_lbfgsb(
     m = history
     E, n = x0s.shape
 
-    obj_b = jax.vmap(objective)
-    grad_b = jax.vmap(grad)
+    obj_b = objective_batch if objective_batch is not None \
+        else jax.vmap(objective)
+    grad_b = grad_batch if grad_batch is not None else jax.vmap(grad)
     ts = 0.5 ** jnp.arange(ls_lengths)           # (L,)
 
     def project(x):

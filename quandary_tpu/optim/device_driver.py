@@ -77,6 +77,16 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
 
     vg = jax.value_and_grad(problem.objective, has_aux=True)
 
+    # With the lane-packed fused kernels (pack_group > 1) the line search
+    # goes SPECULATIVE: value_and_grad at ALL trial lengths in packed
+    # groups (ls_lengths=12 -> two kernel programs), then select — the
+    # gradient at the accepted point comes out of the same launch, so the
+    # separate post-selection vg sweep disappears. Without packing the
+    # objective-only probes + one vg stay cheaper (the probes skip the
+    # backward pass).
+    packed_ls = problem.pack_group > 1
+    evg = problem._ensemble_vg() if packed_ls else None
+
     def obj_only(x, ref):
         J, _ = problem.objective(x, ref)
         return J
@@ -129,7 +139,13 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
 
         # parallel Armijo backtracking: all trial lengths in one batched call
         xc = jax.vmap(project)(x[None, :] + ts[:, None] * d[None, :])  # (L,n)
-        fc = jax.vmap(obj_only, in_axes=(0, None))(xc, st["ref"])      # (L,)
+        if packed_ls:
+            # speculative: f AND g at every trial length from the packed
+            # group kernels; the accepted point's gradient is already here
+            (fc, auxc), gc = evg(xc, st["ref"])
+            fc = fc.astype(rdtype)
+        else:
+            fc = jax.vmap(obj_only, in_axes=(0, None))(xc, st["ref"])  # (L,)
         dx = xc - x[None, :]
         armijo = fc <= f + c1 * (dx @ g)
         any_ok = jnp.any(armijo)
@@ -137,8 +153,17 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
         x_new = jnp.where(any_ok, xc[pick], x)
         step = jnp.where(any_ok, ts[pick], 0.0).astype(rdtype)
 
-        (f_new, aux_new), g_new = vg(x_new, st["ref"])
-        f_new = jnp.asarray(f_new, rdtype)
+        if packed_ls:
+            f_new = jnp.where(any_ok, fc[pick], f)
+            g_new = jnp.where(any_ok, gc[pick], g)
+            av_pick = jnp.stack([jnp.asarray(auxc[k], rdtype)[pick]
+                                 for k in AUX_KEYS])
+            aux_stale = st["aux"]
+            av_new = jnp.where(any_ok, av_pick, aux_stale)
+        else:
+            (f_new, aux_new), g_new = vg(x_new, st["ref"])
+            f_new = jnp.asarray(f_new, rdtype)
+            av_new = aux_vec(aux_new)
 
         s = x_new - x
         y = g_new - g
@@ -153,7 +178,7 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
         count = st["count"] + good.astype(jnp.int32)
 
         gnorm = jnp.linalg.norm(fb_residual(x_new, g_new))
-        av = aux_vec(aux_new)
+        av = av_new
         # stopping tests (driver.run_optimization / optimproblem.cpp:607-624)
         done = ((1.0 - av[0] <= inftol) | (av[1] <= fatol)
                 | (gnorm < gatol) | (gnorm / st["gnorm0"] < grtol)
@@ -203,11 +228,25 @@ def run_optimization_device(
 ) -> OptimResult:
     """Drop-in alternative to driver.run_optimization that keeps the whole
     loop on-device (one host fetch per `chunk` iterations). History rows are
-    produced for every iteration; durability writes land once per chunk."""
-    init_fn, chunk_fn = build_device_optimizer(
-        problem, lb, ub, chunk=chunk, history=history,
-        ls_lengths=ls_lengths, gatol=gatol, grtol=grtol, fatol=fatol,
-        inftol=inftol, maxiter=maxiter)
+    produced for every iteration; durability writes land once per chunk.
+
+    The traced/jitted (init_fn, chunk_fn) pair is memoized on the problem:
+    re-running the same problem (restarts, warm campaigns, parameter
+    sweeps) skips the re-trace — tracing the chunk program costs seconds
+    while a warm chunk call costs milliseconds, so without the memo the
+    'optimizer wall clock' of a repeat run is ~all tracing."""
+    key = (float(np.asarray(lb).sum()), float(np.asarray(ub).sum()),
+           chunk, history, ls_lengths, maxiter,
+           float(gatol), float(grtol), float(fatol), float(inftol))
+    cache = getattr(problem, "_device_opt_cache", None)
+    if cache is None or cache[0] != key:
+        init_fn, chunk_fn = build_device_optimizer(
+            problem, lb, ub, chunk=chunk, history=history,
+            ls_lengths=ls_lengths, gatol=gatol, grtol=grtol, fatol=fatol,
+            inftol=inftol, maxiter=maxiter)
+        problem._device_opt_cache = (key, init_fn, chunk_fn)
+    else:
+        _, init_fn, chunk_fn = cache
 
     params_ref = np.asarray(params0, dtype=np.float64)
     st = init_fn(jnp.asarray(params0), jnp.asarray(params_ref))

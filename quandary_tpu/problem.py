@@ -1065,6 +1065,29 @@ class Problem:
 
         return evg
 
+    def _ensemble_objective(self):
+        """(E, nparams)-batched objective fn(Ps, ref) -> (J (E,), aux),
+        routed through the lane-packed group kernel when available (the
+        forward-only companion of _ensemble_vg — used by batched line
+        searches and multi-start population evaluation)."""
+        base = jax.vmap(self.objective, in_axes=(0, None))
+        Gmax = self.pack_group
+        if Gmax <= 1:
+            return base
+
+        def eobj(Ps, params_ref):
+            E = Ps.shape[0]
+            G = next((g for g in range(min(Gmax, E), 0, -1) if E % g == 0))
+            if G <= 1:
+                return base(Ps, params_ref)
+            Pg = Ps.reshape(E // G, G, Ps.shape[-1])
+            _, (Js, aux) = jax.vmap(
+                self._objective_group, in_axes=(0, None))(Pg, params_ref)
+            return Js.reshape(E), jax.tree.map(
+                lambda a: a.reshape((E,) + a.shape[2:]), aux)
+
+        return eobj
+
     def _ensemble_shard(self, fn, mesh, axis, out_specs):
         """shard_map `fn(Ps, ref)` over the candidate (leading-Ps) axis of
         the mesh. Each device runs the FULL per-candidate program — fused

@@ -50,12 +50,14 @@ def main():
     setup = q._build_setup()
     import dataclasses
     if "--cpu" not in sys.argv and "--pallas" in sys.argv:
-        # fused split kernels (--pallas). MEASURED on v5e: at E=1 this is
-        # SLOWER than the plain XLA scan (15.6 s vs 2.9 s warm): the
-        # per-call Hamiltonian-plane assembly streams ~160 MB of (8, 128)
-        # padded planes for a 16-dim state, which only amortizes across a
-        # vmapped ensemble (the E=32 headline). Single-problem production
-        # runs use the XLA engine; the crossover is documented in PERF.md.
+        # fused split kernels (--pallas). MEASURED on v5e (round 3, lane-
+        # packed kernels + speculative line search + memoized trace):
+        # 0.48 s warm / 8.4 s cold to infidelity 1e-4 — the fused engine
+        # now WINS at E=1 too (all 12 line-search trials ride two packed
+        # kernel programs and return gradients, so an iteration is ~5 ms).
+        # xla-scan comparison: 1.26 s warm. The pre-packing figures (15.6 s
+        # stream / 10.8 s streamK, round-3 notes) were dominated by
+        # per-candidate kernel programs plus a full re-trace per run.
         setup = dataclasses.replace(setup, linsolver="split",
                                     linsolve_iters=3, pallas=True,
                                     dtype=jnp.complex64)

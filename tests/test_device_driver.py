@@ -159,3 +159,33 @@ runtype = optimization
     assert int(h[-1, 0]) == 6
     assert os.path.exists(os.path.join(d, "params.dat"))
     assert res["objective"] < h[0, 1] + 1e-12   # made progress (or equal)
+
+
+def test_device_driver_packed_speculative_line_search():
+    """With the lane-packed fused kernels active (pack_group > 1) the device
+    driver's line search turns speculative — value_and_grad at every trial
+    length through packed group kernels, gradient of the accepted point
+    reused. Must deliver the same optimum class as the plain driver on the
+    same fused problem."""
+    import dataclasses
+
+    from __graft_entry__ import _build_problem
+    from quandary_tpu.problem import Problem
+
+    _, setup = _build_problem(ntime=12, T=2.0)
+    prob = Problem(dataclasses.replace(setup, pallas=True,
+                                       pallas_mode="streamk",
+                                       dtype=jnp.complex64))
+    assert prob.use_pallas and prob.pack_group > 1
+    rng = np.random.default_rng(42)
+    params0 = rng.normal(size=setup.nparams) * 0.02
+    lb = np.full(setup.nparams, -1.0)
+    ub = np.full(setup.nparams, 1.0)
+    kw = dict(maxiter=12, gatol=1e-14, grtol=1e-30, inftol=1e-12,
+              fatol=1e-14, verbose=False)
+    resH = run_optimization(prob, params0, lb, ub, **kw)
+    resD = run_optimization_device(prob, params0, lb, ub, chunk=6, **kw)
+    assert resD.objective <= resH.objective * 1.05 + 1e-10
+    assert resD.history[-1].objective < resD.history[0].objective
+    # history rows carry real aux columns from the speculative evals
+    assert 0.0 <= resD.history[-1].fidelity <= 1.0 + 1e-6
