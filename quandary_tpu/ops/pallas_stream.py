@@ -886,7 +886,8 @@ def packed_group_size(dim: int) -> int:
 
 def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
                                   gen_diag=None, linsolver: str = "neumann",
-                                  group: int = None, interpret: bool = False):
+                                  group: int = None, interpret: bool = False,
+                                  per_block_stacks: bool = False):
     """LANE-PACKED streamK: G control candidates propagate through ONE
     kernel program by packing their states into disjoint N-lane segments of
     the 128-lane tile and their Hamiltonians into the matching diagonal
@@ -918,9 +919,21 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
     group (the ensemble semantics: same initial conditions, different
     controls), xT (G, B, N), hist (ntime, G, B, N). Differentiable in x0
     and Cg; stack cotangents are zero by the same contract (and for the
-    same reason) as make_streamk_propagate."""
+    same reason) as make_streamk_propagate.
+
+    per_block_stacks=True: each lane block gets its OWN operator stack —
+    Sr/Si become (G, K, n, n) and gen_diag (G, N) — so the group can hold
+    G different SYSTEM REALIZATIONS under one (shared or per-block)
+    control: robust/sampled-Hamiltonian ensembles run all samples in one
+    kernel program (optim/robust.py)."""
     stack = np.asarray(stack)
-    K, N, _ = stack.shape
+    if per_block_stacks:
+        Gs, K, N, _ = stack.shape
+        if group is not None and int(group) != Gs:
+            raise ValueError(f"group={group} != stack blocks {Gs}")
+        group = Gs
+    else:
+        K, N, _ = stack.shape
     G = int(group) if group is not None else packed_group_size(N)
     if G < 1:
         raise ValueError(f"group must be >= 1, got {G}")
@@ -930,12 +943,19 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
     iters = int(iters)
     jac_np = split_np = None
     diag_slot = None
-    # per-block tiling of the (time-independent) generator diagonal: every
-    # candidate shares the same drift, so the packed diagonal is G copies
+    # per-block tiling of the (time-independent) generator diagonal:
+    # shared-stack groups repeat one drift G times; per-block groups
+    # concatenate each realization's own diagonal
     gd_tiled = None
     if gen_diag is not None:
-        gd_tiled = np.tile(np.asarray(gen_diag, dtype=np.complex128
-                                      ).reshape(-1), G)
+        gd = np.asarray(gen_diag, dtype=np.complex128)
+        if per_block_stacks:
+            if gd.reshape(-1).shape[0] != NG:
+                raise ValueError(
+                    f"per-block gen_diag must have G*N = {NG} entries")
+            gd_tiled = gd.reshape(-1)
+        else:
+            gd_tiled = np.tile(gd.reshape(-1), G)
     if linsolver == "jacobi":
         if gen_diag is None:
             raise ValueError("jacobi streamed solve requires gen_diag")
@@ -989,10 +1009,18 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
     def _expand_stacks(Sr, Si):
         """Operator planes (K, n, n) with n >= N (plane_args pads to 128;
         only the [:N, :N] block is meaningful) -> block-diagonal (Ke, P, P)
-        = I_G (x) S_k (+ the split-diagonal slot), plus transposes."""
+        = I_G (x) S_k (+ the split-diagonal slot), plus transposes. With
+        per_block_stacks, input is (G, K, n, n) and block g of slot k is
+        S[g, k] (different realization per block)."""
         eyeG = jnp.eye(G, dtype=Sr.dtype)
 
         def ex(S):
+            if per_block_stacks:
+                Sg = jnp.zeros((K, P, P), S.dtype)
+                for g in range(G):
+                    Sg = Sg.at[:, g * N:(g + 1) * N, g * N:(g + 1) * N].set(
+                        S[g, :, :N, :N])
+                return Sg
             Sg = jax.vmap(lambda s: jnp.kron(eyeG, s))(S[:, :N, :N])
             if NG < P:
                 Sg = jnp.pad(Sg, ((0, 0), (0, P - NG), (0, P - NG)))

@@ -86,3 +86,38 @@ def test_robust_optimization_improves_worst_case():
     w_nom = worst_infid(res_nom.x)
     w_rob = worst_infid(res_rob.x)
     assert w_rob < w_nom, (w_rob, w_nom)
+
+
+def test_packed_robust_matches_per_sample():
+    """build_packed_robust_objective (all samples in ONE lane-packed kernel
+    program, per-block operator stacks) must reproduce
+    build_robust_objective exactly: J, every aux column, and the gradient."""
+    import jax.numpy as jnp
+
+    from quandary_tpu.optim.robust import build_packed_robust_objective
+
+    base = dict(nlevels=[3], freq01_ghz=[4.1], rotfreq_ghz=[4.1],
+                selfkerr_ghz=[0.2])
+    common = _setup_common()
+    common.update(nessential=(2,), pallas=True, pallas_mode="streamk",
+                  dtype=jnp.complex64, gamma_penalty=0.05,
+                  gamma_penalty_energy=0.02)
+    problems = sample_standard_models(
+        base, [{"freq01_ghz": [4.1 + d]} for d in (0.0, 0.002, -0.003)],
+        common)
+    assert all(p.use_pallas for p in problems)
+    w = [0.5, 0.3, 0.2]
+    obj0 = build_robust_objective(problems, w)
+    obj1 = build_packed_robust_objective(problems, w)
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(rng.normal(size=problems[0].setup.nparams) * 0.02,
+                         jnp.float32)
+    ref = jnp.zeros_like(params)
+    (J0, a0), g0 = jax.jit(jax.value_and_grad(obj0, has_aux=True))(params, ref)
+    (J1, a1), g1 = jax.jit(jax.value_and_grad(obj1, has_aux=True))(params, ref)
+    np.testing.assert_allclose(float(J1), float(J0), rtol=5e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=0,
+                               atol=5e-6 * float(jnp.abs(g0).max()))
+    for k in a0:
+        np.testing.assert_allclose(np.asarray(a1[k]), np.asarray(a0[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
