@@ -236,10 +236,15 @@ def _run_vmesh(results_path):
     device and candidate-sharded over 8 virtual devices that share the SAME
     physical cores — identical FLOPs either way, so the wall-clock ratio
     isolates the cost shard_map adds (partitioning, the per-batch scalar
-    psum, per-shard dispatch). overhead_efficiency ~= 1.0 validates the
+    psum, per-shard dispatch). overhead_efficiency >= 1.0 validates the
     embarrassingly-parallel projection across real chips, where each shard
     additionally gets its own MXUs (parity of the sharded program is pinned
-    separately in tests/test_sharding.py)."""
+    separately in tests/test_sharding.py). Values ABOVE 1.0 are expected
+    on this CPU probe: the 8 virtual devices execute their shards as 8
+    concurrent host programs while the unsharded run is one mostly-serial
+    program, so sharding exploits host cores the baseline leaves idle —
+    the projection clamps the factor at 1.0 so that free speedup is never
+    counted toward the per-chip extrapolation."""
     import jax
     import jax.numpy as jnp
     from quandary_tpu.parallel.mesh import make_mesh
@@ -290,13 +295,15 @@ def _run_bench(device: str, pallas="auto", results_path=None):
         print(line)
 
     if pallas == "split":
-        # iters=2: off-diagonal truncation is already below the kernel's
-        # f32 rounding — measured on-chip gradient error vs converged f64:
-        # 7.5e-6 at iters=2 vs 9.4e-6 at iters=3 (same within noise; the
-        # f64 truncation ladder is 3.5e-6 / 2.8e-9 / 1.5e-10 for 2/3/4
-        # iterations). iters=2 is +10% rate (375.6 vs 341.6 sweeps/s).
+        # iters=3: with the lane-packed kernels the per-step cost is
+        # dominated by iteration-independent work (plane contraction,
+        # history stores, grid overhead) — iters=2 and iters=3 measure the
+        # same rate (80.4 vs 78.4 ms per 6x32-sweep call), so take the
+        # extra Neumann iteration's accuracy for free (f64 truncation
+        # ladder 3.5e-6 / 2.8e-9 per step for 2 / 3 iterations; on-chip
+        # gradient error 9.4e-6 at iters=3, f32-rounding dominated).
         problem, setup = build_problem(pallas="auto", linsolver="split",
-                                       linsolve_iters=2)
+                                       linsolve_iters=3)
     else:
         problem, setup = build_problem(pallas=pallas)
     engine = ("pallas-fused-split" if pallas == "split" else "pallas-fused") \

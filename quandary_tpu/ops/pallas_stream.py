@@ -222,7 +222,7 @@ def _fwd_body(HrT_v, HiT_v, x0r_ref, x0i_ref,
 def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
               gTr_ref, gTi_ref, x0r_ref, x0i_ref,
               gr_ref, gi_ref, emit_Hb,
-              ks_refs=None, *, nsteps, dt, iters, jac, split):
+              ks_refs=None, *, nsteps, dt, iters, jac, split, HT=None):
     """Exact real-arithmetic transpose of one computed step (the grid runs
     steps in REVERSE order via the index maps). Hr/Hi: this step's H planes
     as VALUES. emit_Hb(Hbr, Hbi): caller-provided sink for the accumulated
@@ -233,7 +233,9 @@ def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
     the rotated frame, the plain-Neumann transpose chain runs there, and
     the outgoing cotangent rotates back. ks_refs: optional forward-stored
     stage iterates k_0..k_{iters-1} ((1, iters*Bp, P) blocks) — when
-    present, the replay is skipped."""
+    present, the replay is skipped. HT: optional (HrT, HiT) TRANSPOSED
+    plane values (contracted from transposed stacks by the packed caller)
+    — skips two in-body (P, P) VPU transposes per step."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -260,8 +262,12 @@ def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
         xpr, xpi = er * xpr - ei_ * xpi, er * xpi + ei_ * xpr
     a = dt / 2.0
 
-    HrT = _prep_rhs(Hr.T)
-    HiT = _prep_rhs(Hi.T)
+    if HT is not None:
+        HrT = _prep_rhs(HT[0])
+        HiT = _prep_rhs(HT[1])
+    else:
+        HrT = _prep_rhs(Hr.T)
+        HiT = _prep_rhs(Hi.T)
     Hrp = _prep_rhs(Hr)
     Hip = _prep_rhs(Hi)
 
@@ -1118,7 +1124,8 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             lambda i, n=nsteps: (jnp.maximum(n - 2 - i, 0), 0, 0), **vmem)
         full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
         row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
-        in_specs = [const3, const3, crow_rev, revp, revp, revs, revs,
+        in_specs = [const3, const3, const3, const3, crow_rev,
+                    revp, revp, revs, revs,
                     full, full, full, full] + [row] * n_rows
         if store_iters:
             revks = pl.BlockSpec((1, iters * Bp, P),
@@ -1127,13 +1134,17 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             in_specs += [revks, revks]
 
         def body(*refs):
-            (Sr_ref, Si_ref, r_ref, xpr, xpi, jr, ji, gTr, gTi,
-             x0r, x0i) = refs[:11]
-            jac, split = _split_rows(refs[11:11 + n_rows])
-            rest = refs[11 + n_rows:]
+            (Sr_ref, Si_ref, SrT_ref, SiT_ref, r_ref, xpr, xpi, jr, ji,
+             gTr, gTi, x0r, x0i) = refs[:13]
+            jac, split = _split_rows(refs[13:13 + n_rows])
+            rest = refs[13 + n_rows:]
             ks_refs = rest[:2] if store_iters else None
             gr, gi, Rb = rest[2:] if store_iters else rest
             Hr, Hi = _contract(r_ref, Sr_ref, Si_ref)
+            # transposed planes contracted from the VMEM-resident
+            # transposed stacks — two (P, P) VPU transposes per step saved
+            # (the per-step cost here is fixed-cost-bound, not matvec-bound)
+            HT = _contract(r_ref, SrT_ref, SiT_ref)
 
             def emit_Hb(br, bi):
                 # per-lane cotangent rows: s_k[j] = sum_i Hb[i,j] T_k[i,j]
@@ -1147,7 +1158,7 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
 
             _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
                       x0r, x0i, gr, gi, emit_Hb, ks_refs, nsteps=nsteps,
-                      dt=dt, iters=iters, jac=jac, split=split)
+                      dt=dt, iters=iters, jac=jac, split=split, HT=HT)
 
         crow_out = pl.BlockSpec((1, Ke, P),
                                 lambda i, n=nsteps: (n - 1 - i, 0, 0),
@@ -1191,7 +1202,7 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
         B, dtype = x0_proto.shape[0], x0_proto.dtype
         ntime = Cg.shape[0]
         Bp = hr.shape[1]
-        Sre, Sie, _, _ = _expand_stacks(Sr, Si)
+        Sre, Sie, SreT, SieT = _expand_stacks(Sr, Si)
 
         _, h_vjp = jax.vjp(lambda a, b: _unpack_hist(a, b, B, dtype), hr, hi)
         jr, ji = h_vjp(hist_bar)
@@ -1200,7 +1211,7 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
                            hr[-1], hi[-1])
         gTr, gTi = u_vjp(xT_bar)
 
-        args = (Sre, Sie, _rows_C(Cg), hr, hi, jr, ji, gTr, gTi,
+        args = (Sre, Sie, SreT, SieT, _rows_C(Cg), hr, hi, jr, ji, gTr, gTi,
                 x0r, x0i) + _row_args()
         if store_iters:
             args = args + tuple(ks)
