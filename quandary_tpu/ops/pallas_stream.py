@@ -165,6 +165,25 @@ def _fwd_body(HrT_v, HiT_v, x0r_ref, x0i_ref,
         xr_ref[:] = x0r_ref[:]
         xi_ref[:] = x0i_ref[:]
 
+    Bp = xr_ref.shape[0]
+
+    def store_k(j, kr, ki):
+        if ks_refs is not None and j < iters:
+            ks_refs[0][0, j * Bp:(j + 1) * Bp, :] = kr
+            ks_refs[1][0, j * Bp:(j + 1) * Bp, :] = ki
+
+    xr, xi = _fwd_step(HrT_v, HiT_v, xr_ref[:], xi_ref[:], store_k,
+                       dt=dt, iters=iters, jac=jac, split=split)
+    xr_ref[:] = xr
+    xi_ref[:] = xi
+    hr_ref[0] = xr
+    hi_ref[0] = xi
+
+
+def _fwd_step(HrT_v, HiT_v, xr, xi, store_k, *, dt, iters, jac, split):
+    """Pure math of one forward step on carried VALUES (xr, xi) -> new
+    values; stage iterates go to store_k(j, kr, ki). Shared by the
+    1-step-per-grid-step bodies and the Tc-blocked packed body."""
     HrT = _prep_rhs(HrT_v)
     HiT = _prep_rhs(HiT_v)
 
@@ -173,16 +192,7 @@ def _fwd_body(HrT_v, HiT_v, x0r_ref, x0i_ref,
         ai = _dot(vr, HiT) + _dot(vi, HrT)
         return ai, -ar
 
-    Bp = xr_ref.shape[0]
-
-    def store_k(j, kr, ki):
-        if ks_refs is not None and j < iters:
-            ks_refs[0][0, j * Bp:(j + 1) * Bp, :] = kr
-            ks_refs[1][0, j * Bp:(j + 1) * Bp, :] = ki
-
     a = dt / 2.0
-    xr = xr_ref[:]
-    xi = xi_ref[:]
     if split is not None:
         er, ei_ = split
         xr, xi = er * xr - ei_ * xi, er * xi + ei_ * xr
@@ -213,10 +223,7 @@ def _fwd_body(HrT_v, HiT_v, x0r_ref, x0i_ref,
     xi = xi + dt * ki
     if split is not None:
         xr, xi = er * xr - ei_ * xi, er * xi + ei_ * xr
-    xr_ref[:] = xr
-    xi_ref[:] = xi
-    hr_ref[0] = xr
-    hi_ref[0] = xi
+    return xr, xi
 
 
 def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
@@ -252,6 +259,27 @@ def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
     xpi = jnp.where(first, x0i_ref[:], xpi_ref[0])
     gr = gr_ref[:] + jr_ref[0]
     gi = gi_ref[:] + ji_ref[0]
+
+    Bp = gr.shape[0]
+    ks_vals = None
+    if ks_refs is not None:
+        ks_vals = [(ks_refs[0][0, j * Bp:(j + 1) * Bp, :],
+                    ks_refs[1][0, j * Bp:(j + 1) * Bp, :])
+                   for j in range(iters)]
+
+    outr, outi = _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
+                           dt=dt, iters=iters, jac=jac, split=split)
+    gr_ref[:] = outr
+    gi_ref[:] = outi
+
+
+def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
+              *, dt, iters, jac, split):
+    """Pure math of one adjoint step on VALUES: incoming cotangent
+    (gr, gi) (already including this step's history injection), pre-step
+    state (xpr, xpi), optional forward-stored stage iterates ks_vals ->
+    outgoing cotangent; the step's H-plane cotangent goes to emit_Hb.
+    Shared by the 1-step bodies and the Tc-blocked packed body."""
     if split is not None:
         er, ei_ = split
 
@@ -297,16 +325,9 @@ def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
     kbr = dt * gr
     kbi = dt * gi
 
-    Bp = gr.shape[0]
-
-    def load_ks():
-        return [(ks_refs[0][0, j * Bp:(j + 1) * Bp, :],
-                 ks_refs[1][0, j * Bp:(j + 1) * Bp, :])
-                for j in range(iters)]
-
     if jac is None:
-        if ks_refs is not None:
-            ks = load_ks()          # forward-stored iterates: no replay
+        if ks_vals is not None:
+            ks = ks_vals            # forward-stored iterates: no replay
         else:
             # replay the Neumann iterates k_0..k_{iters-1}
             br, bi = T(xpr, xpi)
@@ -338,8 +359,8 @@ def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
         def Dt(ur, ui):  # transpose of v -> d*v = multiply by conj(d)
             return dr * ur + di_ * ui, dr * ui - di_ * ur
 
-        if ks_refs is not None:
-            ks = load_ks()          # forward-stored iterates: no replay
+        if ks_vals is not None:
+            ks = ks_vals            # forward-stored iterates: no replay
         else:
             # replay k_0..k_{iters-1} of the Jacobi iteration
             br, bi = T(xpr, xpi)
@@ -373,14 +394,13 @@ def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
     outr, outi = gr + tr, gi + ti
     if split is not None:
         outr, outi = rot_m(outr, outi)   # leading rotation's transpose
-    gr_ref[:] = outr
-    gi_ref[:] = outi
     Cr = jnp.concatenate([p[0] for p in accs], axis=0)
     Ci = jnp.concatenate([p[1] for p in accs], axis=0)
     UrT = jnp.concatenate([p[2] for p in accs], axis=0).T
     UiT = jnp.concatenate([p[3] for p in accs], axis=0).T
     emit_Hb((_dot(UiT, Cr) - _dot(UrT, Ci)).T,
             (_dot(UrT, Cr) + _dot(UiT, Ci)).T)
+    return outr, outi
 
 
 def make_stream_propagate(stack, dt: float, iters: int = 10,
@@ -1053,17 +1073,25 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             Rp = Rp.at[:, K, :NG].set(1.0)
         return Rp
 
-    def _contract(r_ref, Sa_ref, Sb_ref):
-        """H = sum_k r_k (column-broadcast) * S_k. Valid for BOTH the plane
-        and its transpose: T_k is zero off-block and r_k is constant within
-        a block, so row- and column-broadcast agree where T_k != 0. Rows are
+    def _contract(r_ref, Sa_ref, Sb_ref, row=0):
+        """H = sum_k r_k (column-broadcast) * S_k for sub-step `row` of the
+        (Tc, Ke, P) coefficient block. Valid for BOTH the plane and its
+        transpose: T_k is zero off-block and r_k is constant within a
+        block, so row- and column-broadcast agree where T_k != 0. Rows are
         kept (1, P)-shaped (lane vectors) for the Mosaic lowering."""
-        Hr = r_ref[0, 0:1] * Sa_ref[0]
-        Hi = r_ref[0, 0:1] * Sb_ref[0]
+        Hr = r_ref[row, 0:1] * Sa_ref[0]
+        Hi = r_ref[row, 0:1] * Sb_ref[0]
         for k in range(1, Ke):
-            Hr = Hr + r_ref[0, k:k + 1] * Sa_ref[k]
-            Hi = Hi + r_ref[0, k:k + 1] * Sb_ref[k]
+            Hr = Hr + r_ref[row, k:k + 1] * Sa_ref[k]
+            Hi = Hi + r_ref[row, k:k + 1] * Sb_ref[k]
         return Hr, Hi
+
+    def _tc_for(nsteps):
+        # sub-steps per grid step: the per-grid-step machinery costs
+        # ~0.36 us on the v5e (measured; the step math hides under it), so
+        # amortize it over Tc sub-steps. Largest convenient divisor wins;
+        # prime ntime falls back to 1 (correct, just unamortized).
+        return next(t for t in (8, 7, 6, 5, 4, 3, 2, 1) if nsteps % t == 0)
 
     def _split_rows(refs):
         if jac_np is not None:
@@ -1077,8 +1105,10 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
     stack_spec_shape = (Ke, P, P)
 
     def _fwd_call(nsteps, Bp):
+        Tc = _tc_for(nsteps)
+        n1 = nsteps // Tc
         const3 = pl.BlockSpec(stack_spec_shape, lambda i: (0, 0, 0), **vmem)
-        crow = pl.BlockSpec((1, Ke, P), lambda i: (i, 0, 0), **vmem)
+        crow = pl.BlockSpec((Tc, Ke, P), lambda i: (i, 0, 0), **vmem)
         full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
         row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
         in_specs = [const3, const3, crow, full, full] + [row] * n_rows
@@ -1087,25 +1117,45 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             SrT_ref, SiT_ref, r_ref, x0r, x0i = refs[:5]
             jac, split = _split_rows(refs[5:5 + n_rows])
             outs = refs[5 + n_rows:]
-            xr, xi, hr, hi = outs[:4]
+            xr_ref, xi_ref, hr, hi = outs[:4]
             ks_refs = outs[4:6] if store_iters else None
-            HrT, HiT = _contract(r_ref, SrT_ref, SiT_ref)
-            _fwd_body(HrT, HiT, x0r, x0i, xr, xi, hr, hi, ks_refs,
-                      dt=dt, iters=iters, jac=jac, split=split)
+            i = pl.program_id(0)
 
-        hist_spec = pl.BlockSpec((1, Bp, P), lambda i: (i, 0, 0), **vmem)
+            @pl.when(i == 0)
+            def _init():
+                xr_ref[:] = x0r[:]
+                xi_ref[:] = x0i[:]
+
+            xr = xr_ref[:]
+            xi = xi_ref[:]
+            for j in range(Tc):
+                HrT, HiT = _contract(r_ref, SrT_ref, SiT_ref, row=j)
+
+                def store_k(jj, kr, ki, _j=j):
+                    if ks_refs is not None and jj < iters:
+                        ks_refs[0][_j, jj * Bp:(jj + 1) * Bp, :] = kr
+                        ks_refs[1][_j, jj * Bp:(jj + 1) * Bp, :] = ki
+
+                xr, xi = _fwd_step(HrT, HiT, xr, xi, store_k,
+                                   dt=dt, iters=iters, jac=jac, split=split)
+                hr[j] = xr
+                hi[j] = xi
+            xr_ref[:] = xr
+            xi_ref[:] = xi
+
+        hist_spec = pl.BlockSpec((Tc, Bp, P), lambda i: (i, 0, 0), **vmem)
         out_shape = (jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2 \
             + (jax.ShapeDtypeStruct((nsteps, Bp, P), jnp.float32),) * 2
         out_specs = (full, full, hist_spec, hist_spec)
         if store_iters:
-            ks_spec = pl.BlockSpec((1, iters * Bp, P),
+            ks_spec = pl.BlockSpec((Tc, iters * Bp, P),
                                    lambda i: (i, 0, 0), **vmem)
             out_shape = out_shape + (jax.ShapeDtypeStruct(
                 (nsteps, iters * Bp, P), jnp.float32),) * 2
             out_specs = out_specs + (ks_spec, ks_spec)
         return pl.pallas_call(
             body,
-            grid=(nsteps,),
+            grid=(n1,),
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1113,59 +1163,90 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             **cparams)
 
     def _bwd_call(nsteps, Bp):
+        Tc = _tc_for(nsteps)
+        n1 = nsteps // Tc
         const3 = pl.BlockSpec(stack_spec_shape, lambda i: (0, 0, 0), **vmem)
-        crow_rev = pl.BlockSpec((1, Ke, P),
-                                lambda i, n=nsteps: (n - 1 - i, 0, 0),
+        crow_rev = pl.BlockSpec((Tc, Ke, P),
+                                lambda i, n=n1: (n - 1 - i, 0, 0),
                                 **vmem)
-        revs = pl.BlockSpec((1, Bp, P),
-                            lambda i, n=nsteps: (n - 1 - i, 0, 0), **vmem)
+        revs = pl.BlockSpec((Tc, Bp, P),
+                            lambda i, n=n1: (n - 1 - i, 0, 0), **vmem)
+        # previous-history block: in-block sub-steps read their pre-step
+        # state from the CURRENT block (row j-1); sub-step 0 reads the last
+        # row of the PREVIOUS block (clamped; overridden by x0 at the
+        # global first step)
         revp = pl.BlockSpec(
-            (1, Bp, P),
-            lambda i, n=nsteps: (jnp.maximum(n - 2 - i, 0), 0, 0), **vmem)
+            (Tc, Bp, P),
+            lambda i, n=n1: (jnp.maximum(n - 2 - i, 0), 0, 0), **vmem)
         full = pl.BlockSpec((Bp, P), lambda i: (0, 0), **vmem)
         row = pl.BlockSpec((1, P), lambda i: (0, 0), **vmem)
         in_specs = [const3, const3, const3, const3, crow_rev,
-                    revp, revp, revs, revs,
+                    revs, revs, revp, revp, revs, revs,
                     full, full, full, full] + [row] * n_rows
         if store_iters:
-            revks = pl.BlockSpec((1, iters * Bp, P),
-                                 lambda i, n=nsteps: (n - 1 - i, 0, 0),
+            revks = pl.BlockSpec((Tc, iters * Bp, P),
+                                 lambda i, n=n1: (n - 1 - i, 0, 0),
                                  **vmem)
             in_specs += [revks, revks]
 
         def body(*refs):
-            (Sr_ref, Si_ref, SrT_ref, SiT_ref, r_ref, xpr, xpi, jr, ji,
-             gTr, gTi, x0r, x0i) = refs[:13]
-            jac, split = _split_rows(refs[13:13 + n_rows])
-            rest = refs[13 + n_rows:]
+            (Sr_ref, Si_ref, SrT_ref, SiT_ref, r_ref, hcr, hci, hpr, hpi,
+             jr, ji, gTr, gTi, x0r, x0i) = refs[:15]
+            jac, split = _split_rows(refs[15:15 + n_rows])
+            rest = refs[15 + n_rows:]
             ks_refs = rest[:2] if store_iters else None
-            gr, gi, Rb = rest[2:] if store_iters else rest
-            Hr, Hi = _contract(r_ref, Sr_ref, Si_ref)
-            # transposed planes contracted from the VMEM-resident
-            # transposed stacks — two (P, P) VPU transposes per step saved
-            # (the per-step cost here is fixed-cost-bound, not matvec-bound)
-            HT = _contract(r_ref, SrT_ref, SiT_ref)
+            gr_ref, gi_ref, Rb = rest[2:] if store_iters else rest
+            i = pl.program_id(0)
 
-            def emit_Hb(br, bi):
-                # per-lane cotangent rows: s_k[j] = sum_i Hb[i,j] T_k[i,j]
-                # (column sums of the masked plane cotangent); the
-                # per-candidate coefficient cotangent is the block-segment
-                # sum of s_k, done outside in XLA
-                parts = [jnp.sum(br * Sr_ref[k] + bi * Si_ref[k],
-                                 axis=0, keepdims=True)
-                         for k in range(Ke)]
-                Rb[...] = jnp.concatenate(parts, axis=0)[None]
+            @pl.when(i == 0)
+            def _init():
+                gr_ref[:] = gTr[:]
+                gi_ref[:] = gTi[:]
 
-            _bwd_body(Hr, Hi, xpr, xpi, jr, ji, gTr, gTi,
-                      x0r, x0i, gr, gi, emit_Hb, ks_refs, nsteps=nsteps,
-                      dt=dt, iters=iters, jac=jac, split=split, HT=HT)
+            first_block = i == n1 - 1
+            gr = gr_ref[:]
+            gi = gi_ref[:]
+            for j in range(Tc - 1, -1, -1):
+                Hr, Hi = _contract(r_ref, Sr_ref, Si_ref, row=j)
+                # transposed planes contracted from the VMEM-resident
+                # transposed stacks (no in-body (P, P) VPU transposes)
+                HT = _contract(r_ref, SrT_ref, SiT_ref, row=j)
+                if j > 0:
+                    xpr = hcr[j - 1]
+                    xpi = hci[j - 1]
+                else:
+                    xpr = jnp.where(first_block, x0r[:], hpr[Tc - 1])
+                    xpi = jnp.where(first_block, x0i[:], hpi[Tc - 1])
+                g2r = gr + jr[j]
+                g2i = gi + ji[j]
+                ks_vals = None
+                if ks_refs is not None:
+                    ks_vals = [(ks_refs[0][j, jj * Bp:(jj + 1) * Bp, :],
+                                ks_refs[1][j, jj * Bp:(jj + 1) * Bp, :])
+                               for jj in range(iters)]
 
-        crow_out = pl.BlockSpec((1, Ke, P),
-                                lambda i, n=nsteps: (n - 1 - i, 0, 0),
+                def emit_Hb(br, bi, _j=j):
+                    # per-lane cotangent rows: s_k[l] = sum_i Hb[i,l]
+                    # T_k[i,l] (column sums of the masked plane cotangent);
+                    # the per-candidate coefficient cotangent is the
+                    # block-segment sum of s_k, done outside in XLA
+                    parts = [jnp.sum(br * Sr_ref[k] + bi * Si_ref[k],
+                                     axis=0, keepdims=True)
+                             for k in range(Ke)]
+                    Rb[_j] = jnp.concatenate(parts, axis=0)
+
+                gr, gi = _bwd_step(Hr, Hi, HT, xpr, xpi, g2r, g2i, ks_vals,
+                                   emit_Hb, dt=dt, iters=iters, jac=jac,
+                                   split=split)
+            gr_ref[:] = gr
+            gi_ref[:] = gi
+
+        crow_out = pl.BlockSpec((Tc, Ke, P),
+                                lambda i, n=n1: (n - 1 - i, 0, 0),
                                 **vmem)
         return pl.pallas_call(
             body,
-            grid=(nsteps,),
+            grid=(n1,),
             out_shape=(jax.ShapeDtypeStruct((Bp, P), jnp.float32),) * 2
             + (jax.ShapeDtypeStruct((nsteps, Ke, P), jnp.float32),),
             in_specs=in_specs,
@@ -1211,8 +1292,8 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
                            hr[-1], hi[-1])
         gTr, gTi = u_vjp(xT_bar)
 
-        args = (Sre, Sie, SreT, SieT, _rows_C(Cg), hr, hi, jr, ji, gTr, gTi,
-                x0r, x0i) + _row_args()
+        args = (Sre, Sie, SreT, SieT, _rows_C(Cg), hr, hi, hr, hi,
+                jr, ji, gTr, gTi, x0r, x0i) + _row_args()
         if store_iters:
             args = args + tuple(ks)
         gr, gi, Rb = _bwd_call(ntime, Bp)(*args)
