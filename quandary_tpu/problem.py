@@ -880,14 +880,26 @@ class Problem:
             acc.get("leak"), acc.get("jt"), acc.get("dpdm"), energy_int)
 
     @property
+    def pack_eligible(self):
+        """Whether ensembles may route through the packed streamK builder
+        at all. Beyond the fused-path conditions, the state must fit one
+        128-lane tile: the packed backward holds FOUR (Ke, P, P) stacks in
+        VMEM (untransposed + transposed), which is fine at P=128 (~2 MB)
+        but would crowd the ~16 MB VMEM at the open-system P=256."""
+        s = self.setup
+        dim = self.N * self.N if self.lindblad else self.N
+        return (self.use_pallas and s.pallas_mode == "streamk"
+                and self.nstages == 1 and dim <= 128)
+
+    @property
     def pack_group(self):
         """Lane-packing group size of the packed streamK ensemble kernel:
         how many control candidates fit one 128-lane tile (8 at the
-        flagship's N=16). 1 disables packing — non-fused engines, non-IMR
-        steppers, or states that already fill the tile."""
-        s = self.setup
-        if not (self.use_pallas and s.pallas_mode == "streamk"
-                and self.nstages == 1):
+        flagship's N=16). 1 means no multi-candidate packing — but when
+        pack_eligible, even G=1 ensembles use the packed builder for its
+        Tc-blocked grid (sub-steps amortize the ~0.36 us/grid-step
+        machinery) and transposed-stack backward."""
+        if not self.pack_eligible:
             return 1
         from .ops.pallas_stream import packed_group_size
         dim = self.N * self.N if self.lindblad else self.N
@@ -1044,17 +1056,16 @@ class Problem:
         when packing is off or E has no usable group factor."""
         vg = jax.value_and_grad(self.objective, has_aux=True)
         base = jax.vmap(vg, in_axes=(0, None))
-        Gmax = self.pack_group
-        if Gmax <= 1:
+        if not self.pack_eligible:
             return base
+        Gmax = self.pack_group
         gvg = jax.value_and_grad(self._objective_group, has_aux=True)
 
         def evg(Ps, params_ref):
             E = Ps.shape[0]
-            # largest group size <= Gmax dividing E (static under jit)
+            # largest group size <= Gmax dividing E (static under jit);
+            # even G=1 routes through the packed builder (Tc-blocked grid)
             G = next((g for g in range(min(Gmax, E), 0, -1) if E % g == 0))
-            if G <= 1:
-                return base(Ps, params_ref)
             Pg = Ps.reshape(E // G, G, Ps.shape[-1])
             (_, (Js, aux)), grads = jax.vmap(
                 gvg, in_axes=(0, None))(Pg, params_ref)
@@ -1071,15 +1082,13 @@ class Problem:
         forward-only companion of _ensemble_vg — used by batched line
         searches and multi-start population evaluation)."""
         base = jax.vmap(self.objective, in_axes=(0, None))
-        Gmax = self.pack_group
-        if Gmax <= 1:
+        if not self.pack_eligible:
             return base
+        Gmax = self.pack_group
 
         def eobj(Ps, params_ref):
             E = Ps.shape[0]
             G = next((g for g in range(min(Gmax, E), 0, -1) if E % g == 0))
-            if G <= 1:
-                return base(Ps, params_ref)
             Pg = Ps.reshape(E // G, G, Ps.shape[-1])
             _, (Js, aux) = jax.vmap(
                 self._objective_group, in_axes=(0, None))(Pg, params_ref)
