@@ -665,3 +665,49 @@ def test_packed_ensemble_problem_parity(lind):
     for k in aux0:
         np.testing.assert_allclose(np.asarray(aux1[k]), np.asarray(aux0[k]),
                                    rtol=1e-5, atol=1e-8, err_msg=k)
+
+
+@pytest.mark.parametrize("ntime", [13, 16])
+def test_packed_tc_blocking_edges(ntime):
+    """Tc-blocking edges: prime ntime (13 -> Tc=1, unamortized fallback)
+    and maximal blocking (16 -> Tc=8). Values and gradients must match the
+    unpacked streamK kernel per candidate."""
+    from quandary_tpu.ops.pallas_adjoint import plane_args
+    from quandary_tpu.ops.pallas_stream import (
+        make_streamk_packed_propagate, make_streamk_propagate)
+
+    rng = np.random.default_rng(3)
+    K, N, B, dt, iters, G = 3, 8, 2, 0.02, 2, 4
+    stack = (rng.normal(size=(K, N, N))
+             + 1j * rng.normal(size=(K, N, N))).astype(np.complex64)
+    gen_diag = (-1j * np.diag(stack[0])).astype(np.complex128)
+    x0 = (rng.normal(size=(B, N))
+          + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    Cg = jnp.asarray(rng.normal(size=(ntime, G, K)) * 0.3, jnp.float32)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+
+    sk = make_streamk_propagate(stack, dt, iters, gen_diag=gen_diag,
+                                linsolver="split", interpret=True)
+    pk = make_streamk_packed_propagate(stack, dt, iters, gen_diag=gen_diag,
+                                       linsolver="split", group=G,
+                                       interpret=True)
+
+    def loss_p(Cg_):
+        xT, hist = pk(Sr, Si, jnp.asarray(x0), Cg_)
+        return jnp.sum(jnp.abs(xT) ** 2) + 0.1 * jnp.sum(jnp.abs(hist) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_p)(Cg)
+    tot = 0.0
+    gs = []
+    for g in range(G):
+        def loss_u(c):
+            xT, hist = sk(Sr, Si, jnp.asarray(x0), c)
+            return (jnp.sum(jnp.abs(xT) ** 2)
+                    + 0.1 * jnp.sum(jnp.abs(hist) ** 2))
+        v, gu = jax.value_and_grad(loss_u)(Cg[:, g, :])
+        tot += float(v)
+        gs.append(np.asarray(gu))
+    assert float(v1) == pytest.approx(tot, rel=1e-6)
+    g0 = np.stack(gs, axis=1)
+    np.testing.assert_allclose(np.asarray(g1), g0, rtol=0,
+                               atol=2e-5 * np.abs(g0).max())
