@@ -483,14 +483,7 @@ class Quandary:
             J, _ = problem.objective(x, ref)
             return J
 
-        kw = {}
-        if problem.pack_group > 1:
-            # route the population through the lane-packed group kernels
-            # (G candidates per MXU issue) instead of vmapping G programs
-            eobj = problem._ensemble_objective()
-            evg = problem._ensemble_vg()
-            kw = dict(objective_batch=lambda xs: eobj(xs, ref)[0],
-                      grad_batch=lambda xs: evg(xs, ref)[1])
+        kw = problem.packed_batch_fns(ref)
         xbest, fbest, _ = jax.jit(lambda xs: batched_lbfgsb(
             objective, jax.grad(objective), xs, lb, ub, iters=30, **kw))(x0s)
         best = int(jnp.argmin(fbest))

@@ -235,7 +235,8 @@ def run_optimization_device(
     sweeps) skips the re-trace — tracing the chunk program costs seconds
     while a warm chunk call costs milliseconds, so without the memo the
     'optimizer wall clock' of a repeat run is ~all tracing."""
-    key = (float(np.asarray(lb).sum()), float(np.asarray(ub).sum()),
+    key = (np.ascontiguousarray(lb, dtype=np.float64).tobytes(),
+           np.ascontiguousarray(ub, dtype=np.float64).tobytes(),
            chunk, history, ls_lengths, maxiter,
            float(gatol), float(grtol), float(fatol), float(inftol))
     cache = getattr(problem, "_device_opt_cache", None)

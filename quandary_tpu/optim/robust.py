@@ -115,13 +115,10 @@ def build_packed_robust_objective(problems: Sequence,
     from ..ops.pallas_stream import make_streamk_packed_propagate
 
     def _gd(p):
-        gd = p.gen_diag
+        _, gd, _ = p._flat_state_layout()
         if gd is None:
             return np.zeros((dim,), np.complex128)
-        gd = np.asarray(gd)
-        if p.lindblad:
-            gd = gd.T.reshape(-1)
-        return gd.reshape(-1)
+        return np.asarray(gd).reshape(-1)
 
     gen_diag = np.stack([_gd(p) for p in problems]) \
         if p0.gen_diag is not None else None
@@ -136,14 +133,9 @@ def build_packed_robust_objective(problems: Sequence,
                         for p in problems], axis=1)        # (ntime, S, K)
         Sr = jnp.stack([jnp.asarray(p.engine.pallas_Sr) for p in problems])
         Si = jnp.stack([jnp.asarray(p.engine.pallas_Si) for p in problems])
-        x0k = jnp.asarray(p0.x0, dtype=s0.dtype)
-        if p0.lindblad:
-            x0k = x0k.transpose(0, 2, 1).reshape(p0.ninit, dim)
+        _, _, x0k = p0._flat_state_layout()
         xT, hist = prop(Sr, Si, x0k, Cg)
-        if p0.lindblad:
-            xT = xT.reshape(S, p0.ninit, p0.N, p0.N).swapaxes(-1, -2)
-            hist = hist.reshape(s0.ntime, S, p0.ninit, p0.N, p0.N
-                                ).swapaxes(-1, -2)
+        xT, hist = p0._unflatten_states(xT, hist)
         J_total = 0.0
         fids = []
         terms = None

@@ -557,6 +557,33 @@ class Problem:
     # objective
     # ------------------------------------------------------------------
 
+    def _flat_state_layout(self):
+        """The fused kernels' flat-state conventions, shared by every
+        caller that feeds them (the scan-path pallas branch, the packed
+        group objective, and the packed robust objective): flat dimension,
+        the generator diagonal in that layout (column-major vec(rho) for
+        Lindblad — the engine diag is in (N, N) matrix layout), and the
+        packed initial-condition batch (B, dim)."""
+        dim = self.N * self.N if self.lindblad else self.N
+        gd = self.gen_diag
+        if self.lindblad and gd is not None:
+            gd = np.asarray(gd).T.reshape(-1)
+        x0k = jnp.asarray(self.x0, dtype=self.setup.dtype)
+        if self.lindblad:
+            x0k = x0k.transpose(0, 2, 1).reshape(self.ninit, dim)
+        return dim, gd, x0k
+
+    def _unflatten_states(self, xT, hist):
+        """Inverse of the vec(rho) flattening on kernel outputs: xT
+        (..., dim) / hist (ntime, ..., dim) -> density-matrix layout
+        (..., N, N) for Lindblad; identity for closed systems."""
+        if not self.lindblad:
+            return xT, hist
+        N = self.N
+        xT = xT.reshape(xT.shape[:-1] + (N, N)).swapaxes(-1, -2)
+        hist = hist.reshape(hist.shape[:-1] + (N, N)).swapaxes(-1, -2)
+        return xT, hist
+
     def objective(self, params, params_ref):
         """Full objective. Returns (J_total, aux) with every term and the
         fidelity, matching optimproblem.cpp:224-338 semantics. Dispatches to
@@ -696,12 +723,7 @@ class Problem:
             # gradient flows through the hand-derived kernel VJP. 'stream'
             # = one grid-over-steps launch per direction with pipelined
             # H planes; 'chunk' = Tc steps per launch (cross-check).
-            dim = self.N * self.N if self.lindblad else self.N
-            gd = self.gen_diag
-            if self.lindblad and gd is not None:
-                # superop diagonal: the engine diag is in (N, N) matrix
-                # layout; the kernel state is column-major vec(rho)
-                gd = np.asarray(gd).T.reshape(-1)
+            dim, gd, x0k = self._flat_state_layout()
             shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
             if s.pallas_mode in ("stream", "streamk"):
                 # 'streamk' contracts the per-step H planes IN-KERNEL from
@@ -724,17 +746,10 @@ class Problem:
                 prop = make_pallas_propagate(
                     shape_proto, s.dt, s.linsolve_iters,
                     interpret=self._pallas_interpret)
-            x0k = jnp.asarray(self.x0, dtype=s.dtype)
-            if self.lindblad:
-                x0k = x0k.transpose(0, 2, 1).reshape(self.ninit, dim)
             xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
                             jnp.asarray(self.engine.pallas_Si),
                             x0k, C[:, 0, :])
-            if self.lindblad:
-                xT = xT.reshape(self.ninit, self.N, self.N
-                                ).swapaxes(-1, -2)
-                hist = hist.reshape(s.ntime, self.ninit, self.N, self.N
-                                    ).swapaxes(-1, -2)
+            xT, hist = self._unflatten_states(xT, hist)
             pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(hist)
             return self._assemble_objective(
                 params, params_ref, xT,
@@ -882,14 +897,27 @@ class Problem:
     @property
     def pack_eligible(self):
         """Whether ensembles may route through the packed streamK builder
-        at all. Beyond the fused-path conditions, the state must fit one
-        128-lane tile: the packed backward holds FOUR (Ke, P, P) stacks in
-        VMEM (untransposed + transposed), which is fine at P=128 (~2 MB)
-        but would crowd the ~16 MB VMEM at the open-system P=256."""
+        at all. Beyond the fused-path conditions: (1) the state must fit
+        one 128-lane tile — the packed backward holds FOUR (Ke, P, P)
+        stacks in VMEM (untransposed + transposed), fine at P=128 (~2 MB)
+        but crowding the ~16 MB VMEM at the open-system P=256; (2) the
+        per-grid-step streamed working set, which scales with Bp and the
+        worst-case Tc=8 (history current+previous, cotangent injections,
+        stage iterates, double-buffered by the Mosaic pipeline), must also
+        fit — large Lindblad initial-condition batches (Bp ~ N^2) can
+        exhaust VMEM even at dim <= 128."""
         s = self.setup
         dim = self.N * self.N if self.lindblad else self.N
-        return (self.use_pallas and s.pallas_mode == "streamk"
-                and self.nstages == 1 and dim <= 128)
+        if not (self.use_pallas and s.pallas_mode == "streamk"
+                and self.nstages == 1 and dim <= 128):
+            return False
+        P, Tc = 128, 8
+        Bp = max(8, -(-self.ninit // 8) * 8)
+        Ke = self.model.K + 1
+        stacks_f32 = 4 * Ke * P * P
+        per_step_f32 = Tc * P * (4 * Bp + 2 * s.linsolve_iters * Bp + Ke)
+        vmem_bytes = 4 * (stacks_f32 + 2 * per_step_f32)
+        return vmem_bytes <= 12 * (1 << 20)
 
     @property
     def pack_group(self):
@@ -921,25 +949,16 @@ class Problem:
         G = Pg.shape[0]
         Cs = jax.vmap(self.coeff_rows_mid)(Pg)        # (G, ntime, 1, K)
         Cg = jnp.transpose(Cs[:, :, 0, :], (1, 0, 2))  # (ntime, G, K)
-        dim = self.N * self.N if self.lindblad else self.N
-        gd = self.gen_diag
-        if self.lindblad and gd is not None:
-            gd = np.asarray(gd).T.reshape(-1)
+        dim, gd, x0k = self._flat_state_layout()
         shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
         from .ops.pallas_stream import make_streamk_packed_propagate
         prop = make_streamk_packed_propagate(
             shape_proto, s.dt, s.linsolve_iters, gen_diag=gd,
             linsolver=self.linsolver, group=G,
             interpret=self._pallas_interpret)
-        x0k = jnp.asarray(self.x0, dtype=s.dtype)
-        if self.lindblad:
-            x0k = x0k.transpose(0, 2, 1).reshape(self.ninit, dim)
         xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
                         jnp.asarray(self.engine.pallas_Si), x0k, Cg)
-        if self.lindblad:
-            xT = xT.reshape(G, self.ninit, self.N, self.N).swapaxes(-1, -2)
-            hist = hist.reshape(s.ntime, G, self.ninit, self.N, self.N
-                                ).swapaxes(-1, -2)
+        xT, hist = self._unflatten_states(xT, hist)
 
         def tail(pg, xTg, histg):
             pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(histg)
@@ -1096,6 +1115,19 @@ class Problem:
                 lambda a: a.reshape((E,) + a.shape[2:]), aux)
 
         return eobj
+
+    def packed_batch_fns(self, params_ref):
+        """batched_lbfgsb hooks that route a population's objective/grad
+        evaluations through the packed group kernels (G candidates per MXU
+        issue). Returns {} when packing is unavailable — callers splat the
+        result into batched_lbfgsb(**kw) and get the plain vmaps then.
+        Shared by Quandary._multistart_best and the multistart bench."""
+        if self.pack_group <= 1:
+            return {}
+        eobj = self._ensemble_objective()
+        evg = self._ensemble_vg()
+        return dict(objective_batch=lambda xs: eobj(xs, params_ref)[0],
+                    grad_batch=lambda xs: evg(xs, params_ref)[1])
 
     def _ensemble_shard(self, fn, mesh, axis, out_specs):
         """shard_map `fn(Ps, ref)` over the candidate (leading-Ps) axis of

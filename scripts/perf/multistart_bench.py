@@ -52,13 +52,8 @@ def main(E=16, iters=60):
     x0s = jnp.asarray(rng.uniform(-1, 1, (E, setup.nparams)) * 0.03,
                       jnp.float32)
 
-    kw = {}
-    if problem.pack_group > 1:
-        # lane-packed group kernels: G candidates per MXU issue (round 3)
-        eobj = problem._ensemble_objective()
-        evg = problem._ensemble_vg()
-        kw = dict(objective_batch=lambda xs: eobj(xs, ref)[0],
-                  grad_batch=lambda xs: evg(xs, ref)[1])
+    # lane-packed group kernels: G candidates per MXU issue (round 3)
+    kw = problem.packed_batch_fns(ref)
     run = problem._wrap_with_data(
         lambda xs: batched_lbfgsb(objective, grad, xs, lb, ub,
                                   iters=iters, ls_lengths=8, **kw))

@@ -28,8 +28,12 @@ def main(mode="packed", E=32, reps=6):
                                    linsolve_iters=2)
     assert problem.use_pallas, "fused path not active"
     if mode == "unpacked":
-        # monkeypatch packing off
-        type(problem).pack_group = property(lambda self: 1)
+        # disable packing for THIS instance only: reassign its class to a
+        # one-off subclass overriding the property (mutating the shared
+        # Problem class would silently affect every later instance)
+        problem.__class__ = type(
+            "UnpackedProblem", (type(problem),),
+            {"pack_eligible": property(lambda self: False)})
     print(f"pack_group={problem.pack_group} E={E} reps={reps}", flush=True)
 
     rng = np.random.default_rng(7)
