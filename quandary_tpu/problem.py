@@ -896,26 +896,34 @@ class Problem:
 
     @property
     def pack_eligible(self):
-        """Whether ensembles may route through the packed streamK builder
-        at all. Beyond the fused-path conditions: (1) the state must fit
-        one 128-lane tile — the packed backward holds FOUR (Ke, P, P)
-        stacks in VMEM (untransposed + transposed), fine at P=128 (~2 MB)
-        but crowding the ~16 MB VMEM at the open-system P=256; (2) the
-        per-grid-step streamed working set, which scales with Bp and the
-        worst-case Tc=8 (history current+previous, cotangent injections,
-        stage iterates, double-buffered by the Mosaic pipeline), must also
-        fit — large Lindblad initial-condition batches (Bp ~ N^2) can
-        exhaust VMEM even at dim <= 128."""
+        """Whether ensembles may route through the packed streamK builder.
+        Beyond the fused-path conditions, the builder's VMEM working set
+        must fit: FOUR (Ke, P, P) operator stacks (untransposed +
+        transposed) resident in the backward, plus the per-grid-step
+        streamed blocks — which scale with Bp and the worst-case Tc=8
+        (history current+previous, cotangent injections, stage iterates,
+        double-buffered by the Mosaic pipeline). The estimate uses the
+        REAL padded P, so small states pack G = 128/dim candidates per
+        tile while larger ones (e.g. the guarded open system's dim=256,
+        small init batch) still qualify at G=1 for the Tc-blocked grid;
+        large Lindblad initial-condition batches (Bp ~ N^2) that would
+        exhaust VMEM fall back to the unpacked kernels."""
         s = self.setup
         dim = self.N * self.N if self.lindblad else self.N
         if not (self.use_pallas and s.pallas_mode == "streamk"
-                and self.nstages == 1 and dim <= 128):
+                and self.nstages == 1):
             return False
-        P, Tc = 128, 8
+        from .ops.pallas_stream import packed_group_size
+        G = packed_group_size(dim)
+        P = -(-(G * dim) // 128) * 128
+        Tc = 8
         Bp = max(8, -(-self.ninit // 8) * 8)
         Ke = self.model.K + 1
         stacks_f32 = 4 * Ke * P * P
-        per_step_f32 = Tc * P * (4 * Bp + 2 * s.linsolve_iters * Bp + Ke)
+        # stage-iterate blocks exist only when the kernel stores them
+        # (iters <= 4, pallas_stream store_iters)
+        ks_rows = 2 * s.linsolve_iters * Bp if s.linsolve_iters <= 4 else 0
+        per_step_f32 = Tc * P * (4 * Bp + ks_rows + Ke)
         vmem_bytes = 4 * (stacks_f32 + 2 * per_step_f32)
         return vmem_bytes <= 12 * (1 << 20)
 
