@@ -895,14 +895,24 @@ class Quandary:
 
         Ntot = [i + j for i, j in zip(self.Ne, self.Ng)]
         ndim = int(np.prod(Ntot)) if not self._lindblad_solver else int(np.prod(Ntot)) ** 2
-        uT = np.zeros((ndim, self._ninit), dtype=complex)
-        for iinit in range(self._ninit):
+        # like expected/population above, the rho files are named by the
+        # PHYSICAL initial-condition id ('diagonal' Lindblad runs write
+        # [0, nsub+1, ...], '3states' writes [1,2,3], ...), so discover the
+        # ids from the directory; range(self._ninit) would silently read
+        # missing files and leave those uT columns zero.
+        rho_ids = sorted({int(m.group(1)) for f in _glob.glob(
+            os.path.join(datadir, "rho_Re.iinit*.dat"))
+            for m in [_re.search(r"iinit(\d+)\.dat$", f)] if m})
+        if not rho_ids:
+            rho_ids = list(range(self._ninit))
+        uT = np.zeros((ndim, len(rho_ids)), dtype=complex)
+        for col, iinit in enumerate(rho_ids):
             xre = _load(f"rho_Re.iinit{iinit:04d}.dat")
             xim = _load(f"rho_Im.iinit{iinit:04d}.dat")
             if xre is not None:
-                uT[:, iinit] = np.atleast_2d(xre)[-1, 1:ndim + 1]
+                uT[:, col] = np.atleast_2d(xre)[-1, 1:ndim + 1]
             if xim is not None:
-                uT[:, iinit] += 1j * np.atleast_2d(xim)[-1, 1:ndim + 1]
+                uT[:, col] += 1j * np.atleast_2d(xim)[-1, 1:ndim + 1]
 
         pt, qt, time = [], [], []
         for iosc in range(len(self.Ne)):

@@ -910,6 +910,15 @@ def packed_group_size(dim: int) -> int:
     return max(1, 128 // int(dim))
 
 
+def tc_for(nsteps: int) -> int:
+    """Sub-steps per grid step of the Tc-blocked packed kernels: the
+    per-grid-step machinery costs ~0.36 us on the v5e (measured; the step
+    math hides under it), so amortize it over Tc sub-steps. Largest
+    convenient divisor wins; prime ntime falls back to 1 (correct, just
+    unamortized)."""
+    return next(t for t in (8, 7, 6, 5, 4, 3, 2, 1) if nsteps % t == 0)
+
+
 def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
                                   gen_diag=None, linsolver: str = "neumann",
                                   group: int = None, interpret: bool = False,
@@ -1086,12 +1095,7 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             Hi = Hi + r_ref[row, k:k + 1] * Sb_ref[k]
         return Hr, Hi
 
-    def _tc_for(nsteps):
-        # sub-steps per grid step: the per-grid-step machinery costs
-        # ~0.36 us on the v5e (measured; the step math hides under it), so
-        # amortize it over Tc sub-steps. Largest convenient divisor wins;
-        # prime ntime falls back to 1 (correct, just unamortized).
-        return next(t for t in (8, 7, 6, 5, 4, 3, 2, 1) if nsteps % t == 0)
+    _tc_for = tc_for
 
     def _split_rows(refs):
         if jac_np is not None:

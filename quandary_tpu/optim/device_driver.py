@@ -235,19 +235,32 @@ def run_optimization_device(
     sweeps) skips the re-trace — tracing the chunk program costs seconds
     while a warm chunk call costs milliseconds, so without the memo the
     'optimizer wall clock' of a repeat run is ~all tracing."""
+    # The memo key covers the driver scalars AND the attributes of the
+    # problem that change the traced objective (engine identity, pallas
+    # routing, stepper); a dict (not a single slot) so alternating configs
+    # don't re-trace each other out of the cache. The Problem's physics
+    # (model operators, setup) must not be mutated between calls with an
+    # unchanged key — mutating those re-uses a stale traced program.
     key = (np.ascontiguousarray(lb, dtype=np.float64).tobytes(),
            np.ascontiguousarray(ub, dtype=np.float64).tobytes(),
            chunk, history, ls_lengths, maxiter,
-           float(gatol), float(grtol), float(fatol), float(inftol))
+           float(gatol), float(grtol), float(fatol), float(inftol),
+           type(problem).__name__, id(problem.engine),
+           bool(problem.use_pallas), str(problem.setup.pallas_mode),
+           str(problem.linsolver), int(problem.setup.linsolve_iters),
+           int(problem.setup.ntime), float(problem.setup.dt))
     cache = getattr(problem, "_device_opt_cache", None)
-    if cache is None or cache[0] != key:
-        init_fn, chunk_fn = build_device_optimizer(
+    if not isinstance(cache, dict):
+        cache = {}
+        problem._device_opt_cache = cache
+    if key not in cache:
+        if len(cache) >= 8:     # bound growth across long sweeps
+            cache.pop(next(iter(cache)))
+        cache[key] = build_device_optimizer(
             problem, lb, ub, chunk=chunk, history=history,
             ls_lengths=ls_lengths, gatol=gatol, grtol=grtol, fatol=fatol,
             inftol=inftol, maxiter=maxiter)
-        problem._device_opt_cache = (key, init_fn, chunk_fn)
-    else:
-        _, init_fn, chunk_fn = cache
+    init_fn, chunk_fn = cache[key]
 
     params_ref = np.asarray(params0, dtype=np.float64)
     st = init_fn(jnp.asarray(params0), jnp.asarray(params_ref))

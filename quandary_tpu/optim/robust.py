@@ -105,6 +105,11 @@ def build_packed_robust_objective(problems: Sequence,
                              "discretization for packing")
         if not np.array_equal(np.asarray(p.x0), np.asarray(p0.x0)):
             raise ValueError("sample Problems must share initial conditions")
+        if (p.gen_diag is None) != (p0.gen_diag is None):
+            raise ValueError(
+                "sample Problems must agree on gen_diag presence: a mixed "
+                "ensemble would silently run one sample with a zeroed drift "
+                "diagonal under the jacobi/split solvers")
     if S * dim > 128:
         raise ValueError(f"group of {S} samples at dim {dim} exceeds one "
                          "128-lane tile; use build_robust_objective")

@@ -36,6 +36,33 @@ from .utils.indexing import guard_mask
 from .utils.splines import ControlEvalPlan, OscillatorControl, build_control_plan
 
 
+def pack_vmem_budget_bytes() -> int:
+    """Operand-footprint budget for admitting the packed streamK builder.
+
+    Mosaic's scoped-vmem accounting runs ~2.5x the raw operand footprint
+    (measured, PERF.md), so the budget is sized well under the physical
+    VMEM. Default 12 MiB is calibrated for the 128 MiB VMEM of v4/v5
+    parts; other generations scale proportionally when the runtime
+    exposes a core count/VMEM hint. Override with QTPU_PACK_VMEM_MB for
+    hardware where the heuristic mis-gates (too eager -> Mosaic
+    allocation failure on build, which falls back loudly; too shy ->
+    unpacked kernels, only slower)."""
+    import os
+    env = os.environ.get("QTPU_PACK_VMEM_MB")
+    if env:
+        return int(float(env) * (1 << 20))
+    try:
+        import jax as _jax
+        kind = _jax.devices()[0].device_kind.lower()
+        # v2/v3 cores have 16 MiB VMEM vs 128 MiB on v4+: scale the
+        # budget by the same 8x so the gate tracks the hardware.
+        if "v2" in kind or "v3" in kind:
+            return int(1.5 * (1 << 20))
+    except Exception:  # noqa: BLE001 - no backend yet / cpu-only
+        pass
+    return 12 * (1 << 20)
+
+
 def _relay_retry(fn, attempts: int = 7):
     """Run a device-touching thunk with exponential backoff: remote-attached
     devices (TPU behind a relay tunnel) transiently reject requests under
@@ -913,10 +940,10 @@ class Problem:
         if not (self.use_pallas and s.pallas_mode == "streamk"
                 and self.nstages == 1):
             return False
-        from .ops.pallas_stream import packed_group_size
+        from .ops.pallas_stream import packed_group_size, tc_for
         G = packed_group_size(dim)
         P = -(-(G * dim) // 128) * 128
-        Tc = 8
+        Tc = tc_for(s.ntime)      # the Tc the builder will actually choose
         Bp = max(8, -(-self.ninit // 8) * 8)
         Ke = self.model.K + 1
         stacks_f32 = 4 * Ke * P * P
@@ -925,7 +952,7 @@ class Problem:
         ks_rows = 2 * s.linsolve_iters * Bp if s.linsolve_iters <= 4 else 0
         per_step_f32 = Tc * P * (4 * Bp + ks_rows + Ke)
         vmem_bytes = 4 * (stacks_f32 + 2 * per_step_f32)
-        return vmem_bytes <= 12 * (1 << 20)
+        return vmem_bytes <= pack_vmem_budget_bytes()
 
     @property
     def pack_group(self):

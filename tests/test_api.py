@@ -144,6 +144,34 @@ def test_get_results_roundtrip(tmp_path):
     assert abs(infid2 - infid) < 1e-10
 
 
+def test_get_results_lindblad_diagonal_uT(tmp_path):
+    """get_results must read the uT (rho_Re/Im) files by their PHYSICAL
+    initial-condition ids: a Lindblad 'diagonal' run on one qutrit writes
+    rho files named iinit 0, 4, 8 (the vectorized-diagonal positions), not
+    0..2 — a range(ninit) loop leaves those uT columns silently zero."""
+    q = Quandary(
+        Ne=[3], Ng=[0], freq01=[4.1], selfkerr=[0.2],
+        T1=[20000.0], T2=[8000.0],
+        T=5.0, nsteps=40, randomize_init_ctrl=False, initctrl_MHz=2.0,
+        initialcondition="diagonal, 0", costfunction="Jtrace",
+        optim_target="pure, 0", verbose=False,
+    )
+    d = str(tmp_path / "ld")
+    q.simulate(datadir=d)
+    # the physical ids on disk must not be a contiguous range
+    import glob
+    ids = sorted(int(f[-8:-4]) for f in glob.glob(d + "/rho_Re.iinit*.dat"))
+    assert ids != list(range(len(ids))), ids
+    _, _, _, uT2, *_ = q.get_results(datadir=d)
+    uT2 = np.asarray(uT2)
+    assert uT2.shape[1] == len(ids)
+    # every discovered column carries a real density matrix: unit trace
+    n = int(round(np.sqrt(uT2.shape[0])))
+    for c in range(uT2.shape[1]):
+        rho = uT2[:, c].reshape(n, n)
+        np.testing.assert_allclose(np.trace(rho).real, 1.0, atol=1e-5)
+
+
 def test_spline0_piecewise_constant(tmp_path):
     """spline_order=0 optimization (mirror of
     tests/python/test_example_piecewise_constant_controls): state transfer

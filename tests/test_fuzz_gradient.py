@@ -40,12 +40,27 @@ def _random_setup(rng):
 
     T = float(rng.uniform(4.0, 10.0))
     ntime = int(rng.integers(40, 90))
-    kinds = ["spline", "spline0"]
+    # all four reference control-basis kinds (controlbasis.cpp:20-254):
+    # spline/spline0 uniformly; spline_amplitude and step each on ~1/6 of
+    # draws (the reference exits on spline_amplitude gradients,
+    # oscillator.cpp:354 — here they must be FD-exact like the others)
+    kinds = ["spline", "spline0", "spline", "spline0",
+             "spline_amplitude", "step"]
+
+    def _seg(kind):
+        if kind == "step":
+            return ControlSegment(
+                "step", tstart=0.0, tstop=T,
+                step_amp1=float(rng.uniform(0.01, 0.05)),
+                step_amp2=float(rng.uniform(0.01, 0.05)),
+                tramp=0.15 * T)
+        return ControlSegment(kind, nsplines=int(rng.integers(4, 8)),
+                              tstart=0.0, tstop=T,
+                              scaling=float(rng.uniform(0.5, 2.0)))
+
     oscs = tuple(
         OscillatorControl(
-            segments=(ControlSegment(kinds[rng.integers(0, 2)],
-                                     nsplines=int(rng.integers(4, 8)),
-                                     tstart=0.0, tstop=T),),
+            segments=(_seg(kinds[rng.integers(0, len(kinds))]),),
             carrier_freqs=tuple(2 * np.pi * rng.uniform(-0.1, 0.1)
                                 for _ in range(int(rng.integers(1, 3)))),
             enforce_bc=bool(rng.integers(0, 2)),
@@ -90,12 +105,24 @@ def _random_setup(rng):
     )
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(8))  # 4 draws spline_amplitude, 6 step
 def test_fuzz_fd_gradient(seed):
     rng = np.random.default_rng(1000 + seed)
     setup = _random_setup(rng)
     prob = Problem(setup)
-    params = jnp.asarray(rng.normal(size=setup.nparams) * 0.01)
+    params = np.asarray(rng.normal(size=setup.nparams) * 0.01)
+    # 'step' width parameters live in [0,1] (fraction of the window) and
+    # are vacuous near 0 (the ramp is clipped to empty below 2*tramp):
+    # place them mid-window so the FD probes a live gradient
+    off = 0
+    for osc in setup.oscillators:
+        nf = len(osc.carrier_freqs)
+        for seg in osc.segments:
+            n = seg.nparams_per_carrier() * nf
+            if seg.kind == "step":
+                params[off:off + n] = rng.uniform(0.4, 0.85, size=n)
+            off += n
+    params = jnp.asarray(params)
     ref = jnp.zeros_like(params)
     (J, aux), g = jax.value_and_grad(prob.objective, has_aux=True)(params, ref)
     assert np.isfinite(float(J)), setup
