@@ -104,6 +104,24 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
+def _cparams(est_operand_bytes=None):
+    """CompilerParams for the streamed kernels. Mosaic's DEFAULT scoped-vmem
+    limit is far below the chip's physical VMEM (128 MiB on v4/v5): kernels
+    whose estimated operand footprint exceeds the conservative default ask
+    for the physical limit explicitly, which is what admits mid-size Hilbert
+    spaces (P = 512/768/1024 operator stacks) to the fused path. The
+    estimate is the caller's sum of resident + double-buffered block bytes;
+    Mosaic's own accounting (~2.5x operands, measured round 1) decides the
+    real feasibility at compile time — an infeasible kernel fails to build
+    loudly and the caller falls back to the scan engine."""
+    if not _HAVE_PLTPU:
+        return {}
+    kw = {"dimension_semantics": ("arbitrary",)}
+    if est_operand_bytes is not None and est_operand_bytes > 10 * (1 << 20):
+        kw["vmem_limit_bytes"] = 128 * (1 << 20)
+    return {"compiler_params": pltpu.CompilerParams(**kw)}
+
+
 def _jacobi_planes(gen_diag, dt: float, N: int, P: int):
     """f32 (1, P) planes of d and Minv = 1/(1 - (dt/2) d), host-computed in
     f64. Padded entries get d = 0, Minv = 1 (identity on the padding)."""
@@ -180,18 +198,13 @@ def _fwd_body(HrT_v, HiT_v, x0r_ref, x0i_ref,
     hi_ref[0] = xi
 
 
-def _fwd_step(HrT_v, HiT_v, xr, xi, store_k, *, dt, iters, jac, split):
-    """Pure math of one forward step on carried VALUES (xr, xi) -> new
-    values; stage iterates go to store_k(j, kr, ki). Shared by the
-    1-step-per-grid-step bodies and the Tc-blocked packed body."""
-    HrT = _prep_rhs(HrT_v)
-    HiT = _prep_rhs(HiT_v)
-
-    def matvec(vr, vi):  # T(v) = -i H v, rows: v @ H^T in planes
-        ar = _dot(vr, HrT) - _dot(vi, HiT)
-        ai = _dot(vr, HiT) + _dot(vi, HrT)
-        return ai, -ar
-
+def _stage_fwd(matvec, xr, xi, store_k, *, dt, iters, jac, split):
+    """One forward IMR step for an ARBITRARY linear generator: `matvec` is
+    T(v) applied to the value pair (vr, vi) — rows x planes for the
+    streamed kernels, two-sided matrix products for the density-matrix
+    kernel (ops/pallas_rho.py). The Neumann/Jacobi stage recursion and the
+    split-stepper rotations are generator-agnostic elementwise/matvec
+    algebra; jac/split planes broadcast against the state shape."""
     a = dt / 2.0
     if split is not None:
         er, ei_ = split
@@ -224,6 +237,22 @@ def _fwd_step(HrT_v, HiT_v, xr, xi, store_k, *, dt, iters, jac, split):
     if split is not None:
         xr, xi = er * xr - ei_ * xi, er * xi + ei_ * xr
     return xr, xi
+
+
+def _fwd_step(HrT_v, HiT_v, xr, xi, store_k, *, dt, iters, jac, split):
+    """Pure math of one forward step on carried VALUES (xr, xi) -> new
+    values; stage iterates go to store_k(j, kr, ki). Shared by the
+    1-step-per-grid-step bodies and the Tc-blocked packed body."""
+    HrT = _prep_rhs(HrT_v)
+    HiT = _prep_rhs(HiT_v)
+
+    def matvec(vr, vi):  # T(v) = -i H v, rows: v @ H^T in planes
+        ar = _dot(vr, HrT) - _dot(vi, HiT)
+        ai = _dot(vr, HiT) + _dot(vi, HrT)
+        return ai, -ar
+
+    return _stage_fwd(matvec, xr, xi, store_k,
+                      dt=dt, iters=iters, jac=jac, split=split)
 
 
 def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
@@ -273,13 +302,17 @@ def _bwd_body(Hr, Hi, xpr_ref, xpi_ref, jr_ref, ji_ref,
     gi_ref[:] = outi
 
 
-def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
-              *, dt, iters, jac, split):
-    """Pure math of one adjoint step on VALUES: incoming cotangent
-    (gr, gi) (already including this step's history injection), pre-step
-    state (xpr, xpi), optional forward-stored stage iterates ks_vals ->
-    outgoing cotangent; the step's H-plane cotangent goes to emit_Hb.
-    Shared by the 1-step bodies and the Tc-blocked packed body."""
+def _stage_bwd(T, Tt, xpr, xpi, gr, gi, ks_vals, acc_pair,
+               *, dt, iters, jac, split):
+    """Exact real-arithmetic transpose of one _stage_fwd step for an
+    ARBITRARY linear generator: T/Tt apply the generator and its real
+    transpose to value pairs. The incoming cotangent (gr, gi) must
+    already include this step's history injection; (xpr, xpi) is the
+    pre-step state. Every (cotangent-at-T's-output, value-at-T's-input)
+    pair is handed to acc_pair(cr, ci, ur, ui) — the caller maps pairs to
+    its parameter cotangents (H-plane outer products for the streamed
+    kernels, left/right Heff products for the density-matrix kernel).
+    Returns the outgoing state cotangent."""
     if split is not None:
         er, ei_ = split
 
@@ -290,36 +323,6 @@ def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
         xpr, xpi = er * xpr - ei_ * xpi, er * xpi + ei_ * xpr
     a = dt / 2.0
 
-    if HT is not None:
-        HrT = _prep_rhs(HT[0])
-        HiT = _prep_rhs(HT[1])
-    else:
-        HrT = _prep_rhs(Hr.T)
-        HiT = _prep_rhs(Hi.T)
-    Hrp = _prep_rhs(Hr)
-    Hip = _prep_rhs(Hi)
-
-    def T(vr, vi):
-        ar = _dot(vr, HrT) - _dot(vi, HiT)
-        ai = _dot(vr, HiT) + _dot(vi, HrT)
-        return ai, -ar
-
-    def Tt(ur, ui):  # real transpose of T (no Hermiticity assumption)
-        return (_dot(ur, Hip) - _dot(ui, Hrp),
-                _dot(ur, Hrp) + _dot(ui, Hip))
-
-    # H-plane cotangent pairs (c at T's output, u at T's input). The
-    # per-pair outer products sum as ONE block matmul over the row-stacked
-    # pairs (sum_j u_j^T c_j = [u_1; ...]^T [c_1; ...]) — 4 dots for the
-    # whole step instead of 4 per pair, on the instruction-bound small-N
-    # regime.
-    accs = []
-
-    def acc_H(_hbr, _hbi, cr, ci, ur, ui):
-        accs.append((cr, ci, ur, ui))
-        return _hbr, _hbi
-
-    Hbr = Hbi = None
     bbr = jnp.zeros_like(gr)
     bbi = jnp.zeros_like(gi)
     kbr = dt * gr
@@ -343,7 +346,7 @@ def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
             bbr = bbr + kbr
             bbi = bbi + kbi
             ur, ui = ks[j - 1]
-            Hbr, Hbi = acc_H(Hbr, Hbi, a * kbr, a * kbi, ur, ui)
+            acc_pair(a * kbr, a * kbi, ur, ui)
             kbr, kbi = Tt(a * kbr, a * kbi)
         bbr = bbr + kbr
         bbi = bbi + kbi
@@ -378,7 +381,7 @@ def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
             bbr = bbr + ur
             bbi = bbi + ui
             pr, pi_ = ks[j - 1]
-            Hbr, Hbi = acc_H(Hbr, Hbi, a * ur, a * ui, pr, pi_)
+            acc_pair(a * ur, a * ui, pr, pi_)
             t1r, t1i = Tt(a * ur, a * ui)
             d1r, d1i = Dt(a * ur, a * ui)
             kbr = t1r - d1r
@@ -388,12 +391,52 @@ def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
         bbr = bbr + ur
         bbi = bbi + ui
 
-    # b = T(x_pre): route b-bar into the pre-state and the H planes
-    acc_H(None, None, bbr, bbi, xpr, xpi)
+    # b = T(x_pre): route b-bar into the pre-state and the parameters
+    acc_pair(bbr, bbi, xpr, xpi)
     tr, ti = Tt(bbr, bbi)
     outr, outi = gr + tr, gi + ti
     if split is not None:
         outr, outi = rot_m(outr, outi)   # leading rotation's transpose
+    return outr, outi
+
+
+def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
+              *, dt, iters, jac, split):
+    """Pure math of one adjoint step on VALUES: incoming cotangent
+    (gr, gi) (already including this step's history injection), pre-step
+    state (xpr, xpi), optional forward-stored stage iterates ks_vals ->
+    outgoing cotangent; the step's H-plane cotangent goes to emit_Hb.
+    Shared by the 1-step bodies and the Tc-blocked packed body."""
+    if HT is not None:
+        HrT = _prep_rhs(HT[0])
+        HiT = _prep_rhs(HT[1])
+    else:
+        HrT = _prep_rhs(Hr.T)
+        HiT = _prep_rhs(Hi.T)
+    Hrp = _prep_rhs(Hr)
+    Hip = _prep_rhs(Hi)
+
+    def T(vr, vi):
+        ar = _dot(vr, HrT) - _dot(vi, HiT)
+        ai = _dot(vr, HiT) + _dot(vi, HrT)
+        return ai, -ar
+
+    def Tt(ur, ui):  # real transpose of T (no Hermiticity assumption)
+        return (_dot(ur, Hip) - _dot(ui, Hrp),
+                _dot(ur, Hrp) + _dot(ui, Hip))
+
+    # H-plane cotangent pairs (c at T's output, u at T's input). The
+    # per-pair outer products sum as ONE block matmul over the row-stacked
+    # pairs (sum_j u_j^T c_j = [u_1; ...]^T [c_1; ...]) — 4 dots for the
+    # whole step instead of 4 per pair, on the instruction-bound small-N
+    # regime.
+    accs = []
+
+    def acc_pair(cr, ci, ur, ui):
+        accs.append((cr, ci, ur, ui))
+
+    outr, outi = _stage_bwd(T, Tt, xpr, xpi, gr, gi, ks_vals, acc_pair,
+                            dt=dt, iters=iters, jac=jac, split=split)
     Cr = jnp.concatenate([p[0] for p in accs], axis=0)
     Ci = jnp.concatenate([p[1] for p in accs], axis=0)
     UrT = jnp.concatenate([p[2] for p in accs], axis=0).T
@@ -405,7 +448,7 @@ def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
 
 def make_stream_propagate(stack, dt: float, iters: int = 10,
                           gen_diag=None, linsolver: str = "neumann",
-                          interpret: bool = False):
+                          interpret: bool = False, store_iters=None):
     """Build propagate(Sr, Si, x0, C) -> (xT, history) on the streamed
     kernels, differentiable in x0 and C — the same contract as
     pallas_adjoint.make_pallas_propagate (history is the complex
@@ -446,12 +489,25 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
     # iters x (Bp, P) f32 planes per step per direction — cheap at the small
     # iteration counts the split/neumann paths use, prohibitive at large
     # ones, hence the cap.
-    store_iters = iters <= 4
+    # Forward-stored stage iterates let the backward skip its replay
+    # (saves `iters` matvecs per backward step) at an HBM cost of
+    # iters x (Bp, P) f32 planes per step per direction — cheap for the
+    # small-batch flagships, prohibitive for gate-class batches at
+    # mid-size N (the caller gates on the computed byte count and passes
+    # store_iters=False there).
+    if store_iters is None:
+        store_iters = iters <= 4
+    store_iters = bool(store_iters) and iters <= 4
 
     vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
-    cparams = {} if not _HAVE_PLTPU else {
-        "compiler_params": pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))}
+
+    def _est(Bp, planes_blocks):
+        """Operand-footprint estimate (bytes): `planes_blocks` streamed
+        (P, P) blocks (double-buffered) + per-step state/history/iterate
+        blocks + the resident carry."""
+        it = iters + 1 if store_iters else 0
+        return 4 * (2 * planes_blocks * P * P
+                    + (16 + 4 * it) * Bp * P)
 
     def _row_args():
         rows = jac_np if jac_np is not None else split_np
@@ -520,7 +576,7 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=out_specs,
             interpret=interpret,
-            **cparams)
+            **_cparams(_est(Bp, 2)))
 
     def _bwd_call(nsteps, Bp):
         rev3 = pl.BlockSpec((1, P, P), lambda i, n=nsteps: (n - 1 - i, 0, 0),
@@ -565,7 +621,7 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=(full, full, rev3, rev3),
             interpret=interpret,
-            **cparams)
+            **_cparams(_est(Bp, 4)))
 
     def _run_forward(Sr, Si, x0, C):
         B, dtype = x0.shape[0], x0.dtype
@@ -633,7 +689,7 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
 
 def make_streamk_propagate(stack, dt: float, iters: int = 10,
                            gen_diag=None, linsolver: str = "neumann",
-                           interpret: bool = False):
+                           interpret: bool = False, store_iters=None):
     """STREAM-K variant of make_stream_propagate: the per-step Hamiltonian
     planes are contracted IN-KERNEL from the (K, P, P) operator stacks
     (VMEM-resident, constant index map) and the (ntime, Kp) coefficient
@@ -687,12 +743,25 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
     Ke = K + (1 if diag_slot is not None else 0)
     Kp = _round_up(Ke, 128)
     n_rows = 4 if jac_np is not None else (2 if split_np is not None else 0)
-    store_iters = iters <= 4
+    # Forward-stored stage iterates let the backward skip its replay
+    # (saves `iters` matvecs per backward step) at an HBM cost of
+    # iters x (Bp, P) f32 planes per step per direction — cheap for the
+    # small-batch flagships, prohibitive for gate-class batches at
+    # mid-size N (the caller gates on the computed byte count and passes
+    # store_iters=False there).
+    if store_iters is None:
+        store_iters = iters <= 4
+    store_iters = bool(store_iters) and iters <= 4
 
     vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
-    cparams = {} if not _HAVE_PLTPU else {
-        "compiler_params": pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))}
+
+    def _est(Bp):
+        """Operand-footprint estimate (bytes): 2 VMEM-resident (Ke, P, P)
+        stacks + double-buffered per-step state/history/iterate blocks —
+        the term that grows with P and admits mid-size Hilbert spaces
+        (closed N up to ~1024) once the Mosaic limit is raised."""
+        it = iters + 1 if store_iters else 0
+        return 4 * (2 * Ke * P * P + (16 + 4 * it) * Bp * P)
 
     def _row_args():
         rows = jac_np if jac_np is not None else split_np
@@ -785,7 +854,7 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=out_specs,
             interpret=interpret,
-            **cparams)
+            **_cparams(_est(Bp)))
 
     def _bwd_call(nsteps, Bp):
         const3 = pl.BlockSpec(stack_spec_shape, lambda i: (0, 0, 0), **vmem)
@@ -846,7 +915,7 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=(full, full, crow_out),
             interpret=interpret,
-            **cparams)
+            **_cparams(_est(Bp)))
 
     def _run_forward(Sr, Si, x0, C):
         B, dtype = x0.shape[0], x0.dtype
@@ -922,7 +991,8 @@ def tc_for(nsteps: int) -> int:
 def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
                                   gen_diag=None, linsolver: str = "neumann",
                                   group: int = None, interpret: bool = False,
-                                  per_block_stacks: bool = False):
+                                  per_block_stacks: bool = False,
+                                  store_iters=None):
     """LANE-PACKED streamK: G control candidates propagate through ONE
     kernel program by packing their states into disjoint N-lane segments of
     the 128-lane tile and their Hamiltonians into the matching diagonal
@@ -1010,12 +1080,25 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
                          f"got {linsolver!r}")
     Ke = K + (1 if diag_slot is not None else 0)
     n_rows = 4 if jac_np is not None else (2 if split_np is not None else 0)
-    store_iters = iters <= 4
+    # Forward-stored stage iterates let the backward skip its replay
+    # (saves `iters` matvecs per backward step) at an HBM cost of
+    # iters x (Bp, P) f32 planes per step per direction — cheap for the
+    # small-batch flagships, prohibitive for gate-class batches at
+    # mid-size N (the caller gates on the computed byte count and passes
+    # store_iters=False there).
+    if store_iters is None:
+        store_iters = iters <= 4
+    store_iters = bool(store_iters) and iters <= 4
 
     vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
-    cparams = {} if not _HAVE_PLTPU else {
-        "compiler_params": pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))}
+
+    def _est(Bp, nstacks, Tc):
+        """Operand-footprint estimate (bytes): `nstacks` VMEM-resident
+        (Ke, P, P) stacks + double-buffered (Tc, ...) blocks."""
+        it = iters + 1 if store_iters else 0
+        return 4 * (nstacks * Ke * P * P
+                    + Tc * 2 * ((4 + 2 * it) * Bp * P + 2 * Ke * P)
+                    + 6 * Bp * P)
 
     def _row_args():
         rows = jac_np if jac_np is not None else split_np
@@ -1164,7 +1247,7 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=out_specs,
             interpret=interpret,
-            **cparams)
+            **_cparams(_est(Bp, 2, Tc)))
 
     def _bwd_call(nsteps, Bp):
         Tc = _tc_for(nsteps)
@@ -1256,7 +1339,7 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=(full, full, crow_out),
             interpret=interpret,
-            **cparams)
+            **_cparams(_est(Bp, 4, Tc)))
 
     def _run_forward(Sr, Si, x0, Cg):
         B, dtype = x0.shape[0], x0.dtype

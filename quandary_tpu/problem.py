@@ -63,6 +63,29 @@ def pack_vmem_budget_bytes() -> int:
     return 12 * (1 << 20)
 
 
+def fused_vmem_budget_bytes() -> int:
+    """Operand budget for the plain (unpacked) streamK builder's resident
+    operator stacks — the admission bound for mid-size Hilbert spaces on
+    the fused path. The stacks are single-buffered (constant index maps),
+    so unlike the packed builder's 12 MiB gate this budget can approach
+    the physical 128 MiB VMEM; 80 MiB leaves room for the double-buffered
+    per-step blocks and Mosaic's own scratch. Override with
+    QTPU_FUSED_VMEM_MB (an over-eager value fails loudly at kernel build;
+    a shy one falls back to the XLA scan engines, only slower)."""
+    import os
+    env = os.environ.get("QTPU_FUSED_VMEM_MB")
+    if env:
+        return int(float(env) * (1 << 20))
+    try:
+        import jax as _jax
+        kind = _jax.devices()[0].device_kind.lower()
+        if "v2" in kind or "v3" in kind:
+            return 10 * (1 << 20)
+    except Exception:  # noqa: BLE001 - no backend yet / cpu-only
+        pass
+    return 80 * (1 << 20)
+
+
 def _relay_retry(fn, attempts: int = 7):
     """Run a device-touching thunk with exponential backoff: remote-attached
     devices (TPU behind a relay tunnel) transiently reject requests under
@@ -197,6 +220,12 @@ class Setup:
     # stack cotangents by documented contract). 'chunk': Tc-steps-per-
     # launch cross-check path.
     pallas_mode: str = "streamk"
+    # Fused state form for OPEN systems: 'auto' uses the vectorized
+    # superoperator kernels while their (Ke, P, P) stacks fit VMEM
+    # (P = roundup(N^2, 128)) and falls over to the density-matrix-form
+    # kernel (ops/pallas_rho.py, (N, N) matrix state, two-sided matmuls)
+    # for mid-size N; 'rho' forces the matrix form, 'superop' forbids it.
+    pallas_rho: str = "auto"
     # Time-parallel propagation (ops/propagator.py): 'auto' enables it for
     # small dense systems where ntime * dim^2 fits comfortably in memory;
     # True forces, False disables (sequential lax.scan).
@@ -394,12 +423,49 @@ class Problem:
             if s.pallas_mode in ("stream", "streamk") else ("neumann",)
         # Open systems run fused too (streamed kernels only): the state is
         # the column-major vec(rho) and the kernel integrates the pseudo-
-        # Hamiltonian H' = i*L (pallas_stream.lindblad_prime_stack), capped
-        # at N^2 <= 1024 by the (P, P) VMEM plane size.
+        # Hamiltonian H' = i*L (pallas_stream.lindblad_prime_stack). Size
+        # admission is VMEM/HBM-derived, not a fixed dimension cap:
+        # streamk keeps two (Ke, P, P) f32 operator stacks VMEM-resident
+        # (the term that grows with the Hilbert dimension), stream
+        # materializes (ntime, P, P) plane arrays in HBM. Mid-size closed
+        # systems (N up to ~1024) and open systems up to the stack budget
+        # run fused; past it the scan engines take over.
+        dim_flat = self.N * self.N if self.lindblad else self.N
+        Ppad = -(-dim_flat // 128) * 128
+        Ke_est = self.model.K + (1 if self.linsolver == "split" else 0)
+        if s.pallas_mode == "streamk":
+            size_ok = 2 * Ke_est * Ppad * Ppad * 4 <= fused_vmem_budget_bytes()
+        elif s.pallas_mode == "stream":
+            # forward 2 + backward 2 (ntime, P, P) f32 plane arrays live in
+            # HBM simultaneously during the VJP
+            size_ok = 6 * s.ntime * Ppad * Ppad * 4 <= 8 * (1 << 30)
+        else:
+            size_ok = dim_flat <= 1024
+        # Mid-size open systems past the superop budget run the
+        # density-matrix-form kernel instead (ops/pallas_rho.py): stacks
+        # are (K, P_rho, P_rho) with P_rho = roundup(N, 128), so the VMEM
+        # bound moves from N^2 to N; the history (stored forward states,
+        # the reference's storeFWD) is the binding HBM term.
+        Prho = -(-self.N // 128) * 128
+        Hrho = max(8, -(-self.N // 8) * 8)
+        njump = 0 if getattr(self.engine, "Ls", None) is None \
+            else len(self.engine.Ls)
+        rho_vmem = 4 * (4 * self.model.K + 4 * njump + 8) * Prho * Prho * 4
+        rho_hist = 2 * self.ninit * s.ntime * Hrho * Prho * 4
+        self.pallas_form = "superop"
+        rho_ok = False
+        want_rho = (s.pallas_rho == "rho"
+                    or (s.pallas_rho == "auto" and not size_ok))
+        if self.lindblad and want_rho and s.pallas_mode == "streamk":
+            rho_ok = (rho_vmem <= fused_vmem_budget_bytes()
+                      and 3 * rho_hist <= 8 * (1 << 30))
+            if rho_ok:
+                self.pallas_form = "rho"
         lind_fusable = (self.lindblad
                         and s.pallas_mode in ("stream", "streamk")
-                        and self.N * self.N <= 1024)
+                        and (size_ok or rho_ok))
         pallas_ok = ((not self.lindblad or lind_fusable)
+                     and (self.lindblad or size_ok)
                      and s.timestepper.upper() == "IMR"
                      and self.linsolver in pallas_solvers
                      and s.dtype == jnp.complex64
@@ -412,12 +478,17 @@ class Problem:
         if self.use_pallas:
             from .ops.pallas_adjoint import plane_args
             eng = self.engine
-            if self.lindblad:
+            if self.lindblad and self.pallas_form == "superop":
                 from .ops.pallas_stream import lindblad_prime_stack
                 Hp = lindblad_prime_stack(eng.stack, eng.Ls)
                 eng.pallas_Sr, eng.pallas_Si = plane_args(Hp)
             else:
+                # closed systems AND the rho form use the raw H_eff stack
                 eng.pallas_Sr, eng.pallas_Si = plane_args(eng.stack)
+            # host-side copy of the jump operators for the rho builder
+            # (eng.Ls may be tracer-swapped by the big-slot threading)
+            self._rho_Ls = (None if eng.Ls is None
+                            else np.asarray(eng.Ls).copy())
 
         # --- time-parallel feasibility (ops/propagator.py) ---
         dim_prop = self.N * self.N if self.lindblad else self.N
@@ -744,6 +815,25 @@ class Problem:
         use_jt = self.jt_weight is not None and s.gamma_penalty > 1e-13
         use_dpdm = s.gamma_penalty_dpdm > 1e-13 and not self.lindblad
 
+        if self.use_pallas and self.pallas_form == "rho":
+            # Density-matrix-form fused propagation (ops/pallas_rho.py):
+            # mid-size open systems keep the (N, N) matrix state and the
+            # generator is applied as two-sided matmuls — the superop
+            # stacks would not fit VMEM at this N.
+            from .ops.pallas_rho import make_rho_propagate
+            prop = make_rho_propagate(
+                np.zeros((self.model.K, self.N, self.N), np.complex64),
+                self._rho_Ls, s.dt, s.linsolve_iters,
+                gen_diag=self.gen_diag, linsolver=self.linsolver,
+                interpret=self._pallas_interpret)
+            xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
+                            jnp.asarray(self.engine.pallas_Si),
+                            jnp.asarray(self.x0, dtype=s.dtype), C[:, 0, :])
+            pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(hist)
+            return self._assemble_objective(
+                params, params_ref, xT,
+                pen_leak_b, pen_jt_b, pen_dpdm_b, energy_int)
+
         if self.use_pallas:
             # Fused Pallas propagation: state history stored (storeFWD
             # analog) so every integral penalty is one vectorized op whose
@@ -767,7 +857,8 @@ class Problem:
                 prop = builder(
                     shape_proto, s.dt, s.linsolve_iters,
                     gen_diag=gd, linsolver=self.linsolver,
-                    interpret=self._pallas_interpret)
+                    interpret=self._pallas_interpret,
+                    store_iters=self._store_iters_ok(dim))
             else:
                 from .ops.pallas_adjoint import make_pallas_propagate
                 prop = make_pallas_propagate(
@@ -921,6 +1012,18 @@ class Problem:
             params, params_ref, xT,
             acc.get("leak"), acc.get("jt"), acc.get("dpdm"), energy_int)
 
+    def _store_iters_ok(self, dim_flat):
+        """Whether the fused kernels may store their forward stage iterates
+        in HBM (backward replay skipped): the blocks cost
+        2 x ntime x iters x Bp x P f32 per direction, negligible for the
+        small-batch flagships but multi-GiB for gate-class batches at
+        mid-size N — past ~1.5 GiB the replay is the cheaper trade."""
+        s = self.setup
+        Bp = max(8, -(-self.ninit // 8) * 8)
+        Ppad = -(-dim_flat // 128) * 128
+        ks_bytes = 2 * s.ntime * s.linsolve_iters * Bp * Ppad * 4
+        return ks_bytes <= 1.5 * (1 << 30)
+
     @property
     def pack_eligible(self):
         """Whether ensembles may route through the packed streamK builder.
@@ -938,7 +1041,7 @@ class Problem:
         s = self.setup
         dim = self.N * self.N if self.lindblad else self.N
         if not (self.use_pallas and s.pallas_mode == "streamk"
-                and self.nstages == 1):
+                and self.pallas_form == "superop" and self.nstages == 1):
             return False
         from .ops.pallas_stream import packed_group_size, tc_for
         G = packed_group_size(dim)
@@ -949,7 +1052,9 @@ class Problem:
         stacks_f32 = 4 * Ke * P * P
         # stage-iterate blocks exist only when the kernel stores them
         # (iters <= 4, pallas_stream store_iters)
-        ks_rows = 2 * s.linsolve_iters * Bp if s.linsolve_iters <= 4 else 0
+        ks_rows = (2 * s.linsolve_iters * Bp
+                   if s.linsolve_iters <= 4 and self._store_iters_ok(G * dim)
+                   else 0)
         per_step_f32 = Tc * P * (4 * Bp + ks_rows + Ke)
         vmem_bytes = 4 * (stacks_f32 + 2 * per_step_f32)
         return vmem_bytes <= pack_vmem_budget_bytes()
@@ -990,7 +1095,8 @@ class Problem:
         prop = make_streamk_packed_propagate(
             shape_proto, s.dt, s.linsolve_iters, gen_diag=gd,
             linsolver=self.linsolver, group=G,
-            interpret=self._pallas_interpret)
+            interpret=self._pallas_interpret,
+            store_iters=self._store_iters_ok(G * dim))
         xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
                         jnp.asarray(self.engine.pallas_Si), x0k, Cg)
         xT, hist = self._unflatten_states(xT, hist)

@@ -41,6 +41,7 @@ QUICK_NODE_PREFIXES = (
     "tests/test_grouped_lindblad.py::test_rhs_matches_tensor_engine",
     "tests/test_grouped_adjoint.py::test_matches_finite_differences",
     "tests/test_pallas_stream.py::test_streamk_matches_stream_all_solvers",
+    "tests/test_pallas_rho.py::test_rho_kernel_gradient_parity[jacobi]",
     "tests/test_pallas_stream.py::test_packed_matches_streamk_per_candidate[split]",
     "tests/test_sharding.py::test_ensemble_sharded_matches_unsharded",
     "tests/test_checkpoint.py::test_kill_and_resume_reproduces_uninterrupted_run",
