@@ -249,6 +249,11 @@ class Problem:
     """Device-ready problem: precomputed plans, state batches and closures."""
 
     def __init__(self, setup: Setup):
+        # every entry point funnels through here: wire the persistent XLA
+        # compile cache so cold processes reuse prior compiles (the
+        # reference binary has zero compile latency to match)
+        from .utils.cache import enable_persistent_cache
+        enable_persistent_cache()
         self.setup = setup
         model = setup.model
         self.model = model
