@@ -487,13 +487,40 @@ class Problem:
                 from .ops.pallas_stream import lindblad_prime_stack
                 Hp = lindblad_prime_stack(eng.stack, eng.Ls)
                 eng.pallas_Sr, eng.pallas_Si = plane_args(Hp)
+            elif self.lindblad and self.pallas_form == "rho":
+                # Lane-GROUP packing for the matrix form: G initial
+                # density matrices ride one (P, P) tile as a
+                # block-diagonal state, with the operators expanded to
+                # I_G (x) S — each two-sided matmul then serves G inits
+                # (the matrix-form analog of the packed streamK lane
+                # trick; zero kernel changes, the kernel just sees a
+                # G*N-dimensional system). G = largest divisor of ninit
+                # that keeps G*N within one 128-lane tile.
+                G = next(g for g in range(min(128 // self.N, self.ninit),
+                                          0, -1) if self.ninit % g == 0)
+                self._rho_group = G
+
+                def _expand(M):
+                    return np.kron(np.eye(G, dtype=M.dtype), np.asarray(M))
+
+                stack_g = np.stack([_expand(S) for S in np.asarray(
+                    eng.stack)])
+                eng.pallas_Sr, eng.pallas_Si = plane_args(stack_g)
+                self._rho_Ls = (None if eng.Ls is None else
+                                [_expand(L) for L in np.asarray(eng.Ls)])
+                if self.gen_diag is not None:
+                    NG = G * self.N
+                    gd = np.zeros((NG, NG), np.complex128)
+                    for g in range(G):
+                        gd[g * self.N:(g + 1) * self.N,
+                           g * self.N:(g + 1) * self.N] = \
+                            np.asarray(self.gen_diag)
+                    self._rho_gen_diag = gd
+                else:
+                    self._rho_gen_diag = None
             else:
-                # closed systems AND the rho form use the raw H_eff stack
+                # closed systems use the raw H_eff stack
                 eng.pallas_Sr, eng.pallas_Si = plane_args(eng.stack)
-            # host-side copy of the jump operators for the rho builder
-            # (eng.Ls may be tracer-swapped by the big-slot threading)
-            self._rho_Ls = (None if eng.Ls is None
-                            else np.asarray(eng.Ls).copy())
 
         # --- time-parallel feasibility (ops/propagator.py) ---
         dim_prop = self.N * self.N if self.lindblad else self.N
@@ -824,16 +851,37 @@ class Problem:
             # Density-matrix-form fused propagation (ops/pallas_rho.py):
             # mid-size open systems keep the (N, N) matrix state and the
             # generator is applied as two-sided matmuls — the superop
-            # stacks would not fit VMEM at this N.
+            # stacks would not fit VMEM at this N. G inits share each
+            # tile block-diagonally (operators pre-expanded to I_G (x) S
+            # at setup; see the gate in __init__).
             from .ops.pallas_rho import make_rho_propagate
+            G, N = self._rho_group, self.N
+            NG = G * N
             prop = make_rho_propagate(
-                np.zeros((self.model.K, self.N, self.N), np.complex64),
+                np.zeros((self.model.K, NG, NG), np.complex64),
                 self._rho_Ls, s.dt, s.linsolve_iters,
-                gen_diag=self.gen_diag, linsolver=self.linsolver,
+                gen_diag=self._rho_gen_diag, linsolver=self.linsolver,
                 interpret=self._pallas_interpret)
+            x0 = jnp.asarray(self.x0, dtype=s.dtype)
+            if G > 1:
+                x0r = x0.reshape(self.ninit // G, G, N, N)
+                x0g = jnp.zeros((self.ninit // G, NG, NG), s.dtype)
+                for g in range(G):
+                    x0g = x0g.at[:, g * N:(g + 1) * N,
+                                 g * N:(g + 1) * N].set(x0r[:, g])
+            else:
+                x0g = x0
             xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
                             jnp.asarray(self.engine.pallas_Si),
-                            jnp.asarray(self.x0, dtype=s.dtype), C[:, 0, :])
+                            x0g, C[:, 0, :])
+            if G > 1:
+                xT = jnp.stack(
+                    [xT[:, g * N:(g + 1) * N, g * N:(g + 1) * N]
+                     for g in range(G)], axis=1).reshape(self.ninit, N, N)
+                hist = jnp.stack(
+                    [hist[:, :, g * N:(g + 1) * N, g * N:(g + 1) * N]
+                     for g in range(G)], axis=2).reshape(
+                         s.ntime, self.ninit, N, N)
             pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(hist)
             return self._assemble_objective(
                 params, params_ref, xT,

@@ -64,7 +64,21 @@ def main(E=16, iters=60):
     t0 = time.perf_counter()
     xb, fb, tr = run(x0s)
     fb = np.asarray(fb)
+    tr = np.asarray(tr)
     warm = time.perf_counter() - t0
+
+    # Delivered-throughput accounting (VERDICT round-3 item 4): per L-BFGS
+    # iteration every candidate runs 1 full gradient sweep (grad_b) plus
+    # ls_lengths=8 forward-only objective evaluations (the parallel
+    # backtracking). A forward eval costs ~1/3 of a gradient sweep
+    # (forward vs forward+adjoint+replay), so the conservative aggregate
+    # is gradient sweeps alone and the equivalent adds L/3.
+    grad_sweeps = E * (iters + 1)
+    fwd_evals = E * 8 * iters
+    # time to best-so-far population minimum crossing 1e-3 objective
+    best_so_far = np.minimum.accumulate(tr.min(axis=1))
+    hit = np.argmax(best_so_far < 1e-3) if (best_so_far < 1e-3).any() else -1
+    per_iter = warm / iters
 
     # infidelity of the best candidate (jitted: eager evaluation would run
     # thousands of tiny ops through the relay)
@@ -74,6 +88,12 @@ def main(E=16, iters=60):
         "device": jax.devices()[0].platform, "E": E, "iters": iters,
         "compile_and_run_s": round(compile_and_run, 1),
         "warm_wall_s": round(warm, 1),
+        "agg_gradient_sweeps_per_s": round(grad_sweeps / warm, 1),
+        "agg_sweep_equiv_per_s": round(
+            (grad_sweeps + fwd_evals / 3.0) / warm, 1),
+        "iters_to_obj_1e-3": int(hit),
+        "time_to_obj_1e-3_s": (round(float(hit) * per_iter, 3)
+                               if hit >= 0 else None),
         "best_objective": float(np.min(fb)),
         "best_infidelity": float(1.0 - float(aux["fidelity"])),
         "objectives_quartiles": [float(q) for q in

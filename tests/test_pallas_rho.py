@@ -143,9 +143,11 @@ def _open_problem(pallas, pallas_rho="auto"):
 def test_rho_form_problem_parity():
     """pallas_rho='rho' routes the guarded open system (N = 16, superop
     dim 256) through the matrix form; objective and gradient must match
-    the scan engine."""
+    the scan engine. ninit = 4 diagonal inits pack G = 4 per tile
+    (block-diagonal lane grouping), so this also pins the grouped path."""
     p_rho = _open_problem(pallas=True, pallas_rho="rho")
     assert p_rho.use_pallas and p_rho.pallas_form == "rho"
+    assert p_rho._rho_group == 4
     p_scan = _open_problem(pallas=False)
 
     params = jnp.asarray(
@@ -157,3 +159,29 @@ def test_rho_form_problem_parity():
     assert float(jnp.max(jnp.abs(g_r - g_s))) < 5e-4 * float(
         jnp.max(jnp.abs(g_s)) + 1e-30)
     assert abs(float(aux_r["fidelity"]) - float(aux_s["fidelity"])) < 5e-5
+
+
+def test_rho_form_ungrouped_matches_grouped(monkeypatch):
+    """G = 1 (grouping disabled by monkeypatching the divisor pick) must
+    reproduce the grouped objective bit-for-bit up to f32 roundoff."""
+    import quandary_tpu.problem as problem_mod
+
+    p_g = _open_problem(pallas=True, pallas_rho="rho")
+    params = jnp.asarray(
+        np.random.default_rng(4).uniform(-1, 1, p_g.setup.nparams) * 0.01,
+        dtype=jnp.float32)
+    (J_g, _), g_g = p_g.build_value_and_grad()(params, params)
+
+    p_1 = _open_problem(pallas=True, pallas_rho="rho")
+    # rebuild the un-grouped operator planes in place
+    from quandary_tpu.ops.pallas_adjoint import plane_args
+    p_1._rho_group = 1
+    p_1._rho_gen_diag = p_1.gen_diag
+    p_1._rho_Ls = (None if p_1.engine.Ls is None
+                   else np.asarray(p_1.engine.Ls).copy())
+    p_1.engine.pallas_Sr, p_1.engine.pallas_Si = plane_args(
+        np.asarray(p_1.engine.stack))
+    (J_1, _), g_1 = p_1.build_value_and_grad()(params, params)
+    assert abs(float(J_g) - float(J_1)) < 1e-5 * max(1.0, abs(float(J_1)))
+    assert float(jnp.max(jnp.abs(g_g - g_1))) < 1e-4 * float(
+        jnp.max(jnp.abs(g_1)) + 1e-30)
