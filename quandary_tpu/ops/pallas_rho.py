@@ -122,8 +122,14 @@ def _djac_planes(gen_diag, dt, N, P):
 
 def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
                        gen_diag=None, linsolver: str = "neumann",
-                       interpret: bool = False):
-    """Build the density-matrix fused propagate (module docstring)."""
+                       interpret: bool = False, store_iters=None):
+    """Build the density-matrix fused propagate (module docstring).
+
+    store_iters: store the forward stage iterates ((iters*Hs, P) plane
+    rows per step per state) so the backward skips its replay — each
+    replayed iterate costs a full T application (8 + 8*njump matmuls).
+    HBM cost is iters x the history size; the caller gates on bytes
+    (problem._store_iters_ok). Default: on for iters <= 8."""
     stack = np.asarray(stack)
     K, N, _ = stack.shape
     P = _round_up(N, 128)
@@ -155,14 +161,19 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
     n_rows = (4 if jac_np is not None else 0) \
         + (2 if split_np is not None else 0) \
         + (2 if dsub_np is not None else 0)
+    if store_iters is None:
+        store_iters = iters <= 8
+    store_iters = bool(store_iters)
 
     vmem = {} if not _HAVE_PLTPU else {"memory_space": pltpu.VMEM}
 
     def _est(nstacks):
         # resident stacks + jump planes + state carry + double-buffered
-        # history/coefficient blocks; the elementwise-plane rows
+        # history/iterate/coefficient blocks; the elementwise-plane rows
+        ks_rows = 2 * iters * Hs if store_iters else 0
         return 4 * ((nstacks * K + 4 * njump + n_rows + 6) * P * P
-                    + 2 * (4 * Hs * P + 2 * Kp))
+                    + 2 * ((4 + 2 * ks_rows // max(Hs, 1)) * Hs * P
+                           + 2 * Kp))
 
     def _row_args():
         rows = []
@@ -311,7 +322,9 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
             c_ref, x0r, x0i = refs[off:off + 3]
             off += 3
             jac, split, dsub = _split_rows(refs[off:off + n_rows])
-            xr_ref, xi_ref, hr, hi = refs[off + n_rows:]
+            outs = refs[off + n_rows:]
+            xr_ref, xi_ref, hr, hi = outs[:4]
+            ks_refs = outs[4:6] if store_iters else None
             i = pl.program_id(1)
 
             @pl.when(i == 0)
@@ -319,25 +332,37 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
                 xr_ref[0] = x0r[0]
                 xi_ref[0] = x0i[0]
 
+            def store_k(j, kr, ki):
+                if ks_refs is not None and j < iters:
+                    ks_refs[0][0, 0, j * Hs:(j + 1) * Hs, :] = kr[:Hs]
+                    ks_refs[1][0, 0, j * Hs:(j + 1) * Hs, :] = ki[:Hs]
+
             A = _contract(c_ref, Sr_ref, Si_ref)
             AT = _contract(c_ref, SrT_ref, SiT_ref)
             Lp = _prep_jumps(*Lrefs)
             T = _make_T(A, AT, Lp, dsub)
-            xr, xi = _stage_fwd(T, xr_ref[0], xi_ref[0],
-                                lambda j, kr, ki: None,
+            xr, xi = _stage_fwd(T, xr_ref[0], xi_ref[0], store_k,
                                 dt=dt, iters=iters, jac=jac, split=split)
             xr_ref[0] = xr
             xi_ref[0] = xi
             hr[0, 0] = xr[:Hs]
             hi[0, 0] = xi[:Hs]
 
+        out_shape = (jax.ShapeDtypeStruct((B, P, P), jnp.float32),) * 2 \
+            + (jax.ShapeDtypeStruct((B, nsteps, Hs, P), jnp.float32),) * 2
+        out_specs = (state, state, hist, hist)
+        if store_iters:
+            ks_spec = pl.BlockSpec((1, 1, iters * Hs, P),
+                                   lambda b, i: (b, i, 0, 0), **vmem)
+            out_shape = out_shape + (jax.ShapeDtypeStruct(
+                (B, nsteps, iters * Hs, P), jnp.float32),) * 2
+            out_specs = out_specs + (ks_spec, ks_spec)
         return pl.pallas_call(
             body,
             grid=(B, nsteps),
-            out_shape=(jax.ShapeDtypeStruct((B, P, P), jnp.float32),) * 2
-            + (jax.ShapeDtypeStruct((B, nsteps, Hs, P), jnp.float32),) * 2,
+            out_shape=out_shape,
             in_specs=in_specs,
-            out_specs=(state, state, hist, hist),
+            out_specs=out_specs,
             interpret=interpret,
             **_cparams(_est(4)))
 
@@ -361,6 +386,11 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
         in_specs = [const3] * 4 + [constL] * (4 if njump else 0) \
             + [crow] + [revp] * 2 + [revj] * 2 + [state] * 4 \
             + [plane] * n_rows
+        if store_iters:
+            revks = pl.BlockSpec((1, 1, iters * Hs, P),
+                                 lambda b, i, n=nsteps: (b, n - 1 - i, 0, 0),
+                                 **vmem)
+            in_specs = in_specs + [revks, revks]
 
         def body(*refs):
             Sr_ref, Si_ref, SrT_ref, SiT_ref = refs[:4]
@@ -374,7 +404,9 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
              gTr, gTi, x0r, x0i) = refs[off:off + 9]
             off += 9
             jac, split, dsub = _split_rows(refs[off:off + n_rows])
-            gr_ref, gi_ref, Rb = refs[off + n_rows:]
+            rest = refs[off + n_rows:]
+            ks_refs = rest[:2] if store_iters else None
+            gr_ref, gi_ref, Rb = rest[2:] if store_iters else rest
             i = pl.program_id(1)
 
             @pl.when(i == 0)
@@ -402,7 +434,15 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
             def acc_pair(cr, ci, ur, ui):
                 pairs.append((cr, ci, ur, ui))
 
-            outr, outi = _stage_bwd(T, Tt, xpr, xpi, gr, gi, None, acc_pair,
+            ks_vals = None
+            if ks_refs is not None:
+                ks_vals = [
+                    (_pad_rows(ks_refs[0][0, 0, j * Hs:(j + 1) * Hs, :]),
+                     _pad_rows(ks_refs[1][0, 0, j * Hs:(j + 1) * Hs, :]))
+                    for j in range(iters)]
+
+            outr, outi = _stage_bwd(T, Tt, xpr, xpi, gr, gi, ks_vals,
+                                    acc_pair,
                                     dt=dt, iters=iters, jac=jac, split=split)
             gr_ref[0] = outr
             gi_ref[0] = outi
@@ -455,21 +495,23 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
         SiT = jnp.swapaxes(Si, -1, -2)
         args = (Sr, Si, SrT, SiT) + _jump_args() \
             + (_pad_C(C), xr0, xi0) + _row_args()
-        xr, xi, hr, hi = _fwd_call(ntime, B)(*args)
+        outs = _fwd_call(ntime, B)(*args)
+        xr, xi, hr, hi = outs[:4]
+        ks = outs[4:6] if store_iters else None
         xT = _unpack_xT(xr, xi, dtype)
-        return xT, _unpack_hist(hr, hi, dtype), (hr, hi), (xr0, xi0)
+        return xT, _unpack_hist(hr, hi, dtype), (hr, hi), (xr0, xi0), ks
 
     @jax.custom_vjp
     def propagate(Sr, Si, x0, C):
-        xT, hist, _, _ = _run_forward(Sr, Si, x0, C)
+        xT, hist, _, _, _ = _run_forward(Sr, Si, x0, C)
         return xT, hist
 
     def fwd2(Sr, Si, x0, C):
-        xT, hist, planes, x0p = _run_forward(Sr, Si, x0, C)
-        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p)
+        xT, hist, planes, x0p, ks = _run_forward(Sr, Si, x0, C)
+        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p, ks)
 
     def bwd2(res, cots):
-        Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i) = res
+        Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i), ks = res
         xT_bar, hist_bar = cots
         dtype = x0_proto.dtype
         B = x0_proto.shape[0]
@@ -492,6 +534,8 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
 
         args = (Sr, Si, SrT, SiT) + _jump_args() \
             + (_pad_C(C), hr, hi, jr, ji, gTr, gTi, x0r, x0i) + _row_args()
+        if store_iters:
+            args = args + tuple(ks)
         gr, gi, Rb = _bwd_call(ntime, B)(*args)
 
         _, pk_vjp = jax.vjp(_pack, x0_proto)

@@ -857,11 +857,16 @@ class Problem:
             from .ops.pallas_rho import make_rho_propagate
             G, N = self._rho_group, self.N
             NG = G * N
+            PG = -(-NG // 128) * 128
+            HsG = max(8, -(-NG // 8) * 8)
+            ks_bytes = (2 * s.ntime * s.linsolve_iters
+                        * (self.ninit // G) * HsG * PG * 4)
             prop = make_rho_propagate(
                 np.zeros((self.model.K, NG, NG), np.complex64),
                 self._rho_Ls, s.dt, s.linsolve_iters,
                 gen_diag=self._rho_gen_diag, linsolver=self.linsolver,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret,
+                store_iters=ks_bytes <= 1.5 * (1 << 30))
             x0 = jnp.asarray(self.x0, dtype=s.dtype)
             if G > 1:
                 x0r = x0.reshape(self.ninit // G, G, N, N)
