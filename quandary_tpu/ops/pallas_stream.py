@@ -689,7 +689,8 @@ def make_stream_propagate(stack, dt: float, iters: int = 10,
 
 def make_streamk_propagate(stack, dt: float, iters: int = 10,
                            gen_diag=None, linsolver: str = "neumann",
-                           interpret: bool = False, store_iters=None):
+                           interpret: bool = False, store_iters=None,
+                           real_io: bool = False):
     """STREAM-K variant of make_stream_propagate: the per-step Hamiltonian
     planes are contracted IN-KERNEL from the (K, P, P) operator stacks
     (VMEM-resident, constant index map) and the (ntime, Kp) coefficient
@@ -768,6 +769,19 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
         return tuple(jnp.asarray(p) for p in rows) if rows else ()
 
     def _pack(x0):
+        """Complex (B, N) state batch — or, with real_io, an (xr, xi)
+        f32 pair — into padded (Bp, P) f32 planes. real_io keeps the
+        whole device program complex-free (TPU has no native complex
+        type; the complex ops otherwise appear only in this glue)."""
+        if real_io:
+            x0r, x0i = x0
+            B = x0r.shape[0]
+            Bp = _round_up(B, 8)
+            xr = jnp.zeros((Bp, P), jnp.float32).at[:B, :N].set(
+                x0r.astype(jnp.float32))
+            xi = jnp.zeros((Bp, P), jnp.float32).at[:B, :N].set(
+                x0i.astype(jnp.float32))
+            return xr, xi
         B = x0.shape[0]
         Bp = _round_up(B, 8)
         xr = jnp.zeros((Bp, P), jnp.float32).at[:B, :N].set(
@@ -777,6 +791,8 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
         return xr, xi
 
     def _unpack_hist(hr, hi, B, dtype):
+        if real_io:
+            return (hr[:, :B, :N], hi[:, :B, :N])
         return (hr[:, :B, :N] + 1j * hi[:, :B, :N]).astype(dtype)
 
     def _ext_stacks(Sr, Si):
@@ -917,8 +933,13 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
             interpret=interpret,
             **_cparams(_est(Bp)))
 
+    def _meta(x0):
+        if real_io:
+            return x0[0].shape[0], jnp.float32
+        return x0.shape[0], x0.dtype
+
     def _run_forward(Sr, Si, x0, C):
-        B, dtype = x0.shape[0], x0.dtype
+        B, dtype = _meta(x0)
         ntime = C.shape[0]
         xr0, xi0 = _pack(x0)
         Bp = xr0.shape[0]
@@ -927,7 +948,10 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
         outs = _fwd_call(ntime, Bp)(*args)
         xr, xi, hr, hi = outs[:4]
         ks = outs[4:6] if store_iters else None
-        xT = (xr[:B, :N] + 1j * xi[:B, :N]).astype(dtype)
+        if real_io:
+            xT = (xr[:B, :N], xi[:B, :N])
+        else:
+            xT = (xr[:B, :N] + 1j * xi[:B, :N]).astype(dtype)
         return xT, _unpack_hist(hr, hi, B, dtype), (hr, hi), ks
 
     @jax.custom_vjp
@@ -938,12 +962,13 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
     def fwd2(Sr, Si, x0, C):
         xT, hist, planes, ks = _run_forward(Sr, Si, x0, C)
         x0p = _pack(x0)
-        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p, ks)
+        x0_proto = jax.tree.map(jnp.zeros_like, x0)
+        return (xT, hist), (Sr, Si, C, x0_proto, planes, x0p, ks)
 
     def bwd2(res, cots):
         Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i), ks = res
         xT_bar, hist_bar = cots
-        B, dtype = x0_proto.shape[0], x0_proto.dtype
+        B, dtype = _meta(x0_proto)
         ntime = C.shape[0]
         Bp = hr.shape[1]
         Sre, Sie, _, _ = _ext_stacks(Sr, Si)
@@ -952,6 +977,8 @@ def make_streamk_propagate(stack, dt: float, iters: int = 10,
         jr, ji = h_vjp(hist_bar)
 
         def unpack_xT(a, b):
+            if real_io:
+                return (a[:B, :N], b[:B, :N])
             return (a[:B, :N] + 1j * b[:B, :N]).astype(dtype)
 
         _, u_vjp = jax.vjp(unpack_xT, hr[-1], hi[-1])
@@ -992,7 +1019,7 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
                                   gen_diag=None, linsolver: str = "neumann",
                                   group: int = None, interpret: bool = False,
                                   per_block_stacks: bool = False,
-                                  store_iters=None):
+                                  store_iters=None, real_io: bool = False):
     """LANE-PACKED streamK: G control candidates propagate through ONE
     kernel program by packing their states into disjoint N-lane segments of
     the 128-lane tile and their Hamiltonians into the matching diagonal
@@ -1105,22 +1132,35 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
         return tuple(jnp.asarray(p) for p in rows) if rows else ()
 
     def _pack(x0):
-        """(B, N) complex -> (Bp, P) f32 planes, x0 tiled into each of the
-        G lane blocks."""
-        B = x0.shape[0]
+        """(B, N) complex — or, with real_io, an (xr, xi) f32 pair —
+        -> (Bp, P) f32 planes, x0 tiled into each of the G lane blocks
+        (real_io keeps the device program complex-free)."""
+        if real_io:
+            x0r, x0i = x0
+        else:
+            x0r = jnp.real(x0)
+            x0i = jnp.imag(x0)
+        B = x0r.shape[0]
         Bp = _round_up(B, 8)
         xr = jnp.zeros((Bp, P), jnp.float32).at[:B, :NG].set(
-            jnp.tile(jnp.real(x0).astype(jnp.float32), (1, G)))
+            jnp.tile(x0r.astype(jnp.float32), (1, G)))
         xi = jnp.zeros((Bp, P), jnp.float32).at[:B, :NG].set(
-            jnp.tile(jnp.imag(x0).astype(jnp.float32), (1, G)))
+            jnp.tile(x0i.astype(jnp.float32), (1, G)))
         return xr, xi
 
     def _unpack_hist(hr, hi, B, dtype):
         # (T, Bp, P) -> (T, G, B, N): lane block g is candidate g
+        if real_io:
+            return tuple(
+                h[:, :B, :NG].reshape(h.shape[0], B, G, N)
+                .transpose(0, 2, 1, 3) for h in (hr, hi))
         h = (hr[:, :B, :NG] + 1j * hi[:, :B, :NG]).astype(dtype)
         return h.reshape(h.shape[0], B, G, N).transpose(0, 2, 1, 3)
 
     def _unpack_xT(a, b, B, dtype):
+        if real_io:
+            return tuple(x[:B, :NG].reshape(B, G, N).swapaxes(0, 1)
+                         for x in (a, b))
         x = (a[:B, :NG] + 1j * b[:B, :NG]).astype(dtype)
         return x.reshape(B, G, N).swapaxes(0, 1)
 
@@ -1341,8 +1381,13 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
             interpret=interpret,
             **_cparams(_est(Bp, 4, Tc)))
 
+    def _meta(x0):
+        if real_io:
+            return x0[0].shape[0], jnp.float32
+        return x0.shape[0], x0.dtype
+
     def _run_forward(Sr, Si, x0, Cg):
-        B, dtype = x0.shape[0], x0.dtype
+        B, dtype = _meta(x0)
         ntime = Cg.shape[0]
         xr0, xi0 = _pack(x0)
         Bp = xr0.shape[0]
@@ -1362,12 +1407,13 @@ def make_streamk_packed_propagate(stack, dt: float, iters: int = 10,
     def fwd2(Sr, Si, x0, Cg):
         xT, hist, planes, ks = _run_forward(Sr, Si, x0, Cg)
         x0p = _pack(x0)
-        return (xT, hist), (Sr, Si, Cg, jnp.zeros_like(x0), planes, x0p, ks)
+        x0_proto = jax.tree.map(jnp.zeros_like, x0)
+        return (xT, hist), (Sr, Si, Cg, x0_proto, planes, x0p, ks)
 
     def bwd2(res, cots):
         Sr, Si, Cg, x0_proto, (hr, hi), (x0r, x0i), ks = res
         xT_bar, hist_bar = cots
-        B, dtype = x0_proto.shape[0], x0_proto.dtype
+        B, dtype = _meta(x0_proto)
         ntime = Cg.shape[0]
         Bp = hr.shape[1]
         Sre, Sie, SreT, SieT = _expand_stacks(Sr, Si)

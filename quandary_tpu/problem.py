@@ -522,6 +522,28 @@ class Problem:
                 # closed systems use the raw H_eff stack
                 eng.pallas_Sr, eng.pallas_Si = plane_args(eng.stack)
 
+        # --- real-glue eligibility (closed fused streamk paths) ---
+        # With real_glue the jit program contains NO complex ops: the
+        # kernels are f32-native and the objective tail runs on (re, im)
+        # plane pairs (_assemble_objective_real). Disable with
+        # QTPU_REAL_GLUE=0.
+        import os as _os
+        self.real_glue = (self.use_pallas and not self.lindblad
+                          and s.pallas_mode == "streamk"
+                          and _os.environ.get("QTPU_REAL_GLUE", "1") != "0")
+        if self.real_glue:
+            x0h = np.asarray(self.x0)
+            self._x0r = np.ascontiguousarray(x0h.real).astype(np.float32)
+            self._x0i = np.ascontiguousarray(x0h.imag).astype(np.float32)
+            if self.target is not None:
+                th = np.asarray(self.target)
+                self._tgtr = np.ascontiguousarray(th.real).astype(np.float32)
+                self._tgti = np.ascontiguousarray(th.imag).astype(np.float32)
+            else:
+                self._tgtr = self._tgti = None
+        else:
+            self._x0r = self._x0i = self._tgtr = self._tgti = None
+
         # --- time-parallel feasibility (ops/propagator.py) ---
         dim_prop = self.N * self.N if self.lindblad else self.N
         feasible = (isinstance(self.engine, DenseEngine)
@@ -673,6 +695,138 @@ class Problem:
                 return 1.0 - J_re
             return 1.0 - (J_re ** 2 + J_im ** 2)
         return J_re
+
+    # ------------------------------------------------------------------
+    # REAL-GLUE objective tail (closed fused paths)
+    #
+    # The fused kernels compute in f32 (re, im) planes; the complex ops of
+    # the default tail exist only as glue (pack/unpack, overlap, |.|^2).
+    # With real_glue the whole device program is complex-free — TPU has no
+    # native complex type (XLA lowers it to real pairs anyway, and the
+    # axon relay intermittently rejects complex programs outright), and
+    # the reference itself integrates the real-blocked x = [u; v] form
+    # (user_guide.md:269-306). Same math, pinned by
+    # test_real_glue_matches_complex.
+    # ------------------------------------------------------------------
+
+    @property
+    def _x0_planes(self):
+        return (self._x0r, self._x0i)
+
+    @property
+    def _target_planes(self):
+        return (self._tgtr, self._tgti)
+
+    def _overlaps_real(self, xr, xi):
+        """Hilbert-Schmidt overlap <target, x> from f32 (..., B, N) planes:
+        conj(t)*x = (tr xr + ti xi) + i (tr xi - ti xr). Returns
+        (Re (..., B), Im (..., B))."""
+        if self.target is not None:
+            tr = jnp.asarray(self._target_planes[0])
+            ti = jnp.asarray(self._target_planes[1])
+            re = jnp.sum(tr * xr + ti * xi, axis=-1)
+            im = jnp.sum(tr * xi - ti * xr, axis=-1)
+            return re, im
+        if self.pure_target_id is not None:
+            return xr[..., self.pure_target_id], xi[..., self.pure_target_id]
+        z = jnp.zeros(xr.shape[:-1], dtype=xr.dtype)
+        return z, z
+
+    def _eval_J_parts_real(self, xr, xi):
+        """eval_J_parts on f32 plane pairs (closed systems)."""
+        obj = self.setup.objective_type
+        if obj == "Jtrace":
+            re, im = self._overlaps_real(xr, xi)
+            return re / jnp.asarray(self.purity, dtype=xr.dtype), im
+        if obj == "Jfrobenius":
+            if self.target is not None:
+                dr = xr - jnp.asarray(self._target_planes[0])
+                di = xi - jnp.asarray(self._target_planes[1])
+                J = 0.5 * jnp.sum(dr * dr + di * di, axis=-1)
+            else:
+                m = self.pure_target_id
+                norm2 = jnp.sum(xr * xr + xi * xi, axis=-1)
+                J = 0.5 * (norm2 - 2.0 * xr[..., m] + 1.0)
+            return J, jnp.zeros_like(J)
+        if obj == "Jmeasure":
+            pop = xr * xr + xi * xi
+            J = pop @ jnp.asarray(self.measure_weights).astype(pop.dtype)
+            return J, jnp.zeros_like(J)
+        raise ValueError(obj)
+
+    def _history_penalties_real(self, hr, hi):
+        """_history_penalties on f32 (T, B, N) plane pairs (closed)."""
+        s = self.setup
+        pen_leak_b = pen_jt_b = pen_dpdm_b = None
+        if self.has_guard and s.gamma_penalty > 1e-13:
+            leak_tb = jnp.sum((hr * hr + hi * hi)
+                              * self.guard_mask[None, None, :], axis=-1)
+            pen_leak_b = jnp.sum(leak_tb, axis=0) / s.ntime
+        if self.jt_weight is not None and s.gamma_penalty > 1e-13:
+            re, im = self._eval_J_parts_real(hr, hi)
+            if s.objective_type == "Jtrace":
+                Jtb = 1.0 - (re ** 2 + im ** 2)
+            else:
+                Jtb = re
+            pen_jt_b = jnp.sum(jnp.asarray(self.jt_weight)[:, None] * Jtb,
+                               axis=0) * s.dt
+        if s.gamma_penalty_dpdm > 1e-13:
+            B = hr.shape[1]
+            x0r, x0i = self._x0_planes
+            pop0 = (jnp.asarray(x0r) ** 2
+                    + jnp.asarray(x0i) ** 2).reshape(1, B, -1)
+            popt = (hr * hr + hi * hi).reshape(hr.shape[0], B, -1)
+            pop = jnp.concatenate([pop0, popt], axis=0)
+            sec = pop[2:] - 2.0 * pop[1:-1] + pop[:-2]
+            pen_dpdm_b = jnp.sum(sec * sec, axis=(0, 2)) / s.dt ** 4
+        return pen_leak_b, pen_jt_b, pen_dpdm_b
+
+    def _assemble_objective_real(self, params, params_ref, xTr, xTi,
+                                 pen_leak_b, pen_jt_b, pen_dpdm_b,
+                                 energy_int):
+        """_assemble_objective on f32 final-state plane pairs (closed)."""
+        s = self.setup
+        w = jnp.asarray(self.weights)
+        J_re_b, J_im_b = self._eval_J_parts_real(xTr, xTi)
+        J_re = jnp.sum(w * J_re_b)
+        J_im = jnp.sum(w * J_im_b)
+        obj_cost = self.finalize_J(J_re, J_im)
+
+        ov_re, ov_im = self._overlaps_real(xTr, xTi)
+        fid_re = jnp.sum(ov_re) / self.ninit
+        fid_im = jnp.sum(ov_im) / self.ninit
+        fidelity = fid_re ** 2 + fid_im ** 2
+
+        dx = params - params_ref if s.gamma_tik_interpolate else params
+        obj_regul = 0.5 * s.gamma_tik * jnp.sum(dx * dx)
+
+        obj_penal = jnp.zeros((), dtype=self.rdtype)
+        if pen_leak_b is not None:
+            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(w * pen_leak_b)
+        if pen_jt_b is not None:
+            obj_penal = obj_penal + s.gamma_penalty * jnp.sum(w * pen_jt_b)
+        obj_penal_dpdm = (s.gamma_penalty_dpdm * jnp.sum(w * pen_dpdm_b)
+                          / s.ntime if pen_dpdm_b is not None
+                          else jnp.zeros((), dtype=self.rdtype))
+        obj_penal_energy = s.gamma_penalty_energy * energy_int
+        if s.gamma_penalty_variation > 1e-13:
+            obj_penal_variation = 0.5 * s.gamma_penalty_variation * \
+                control_variation_penalty(self.plan_mid, params)
+        else:
+            obj_penal_variation = jnp.zeros((), dtype=self.rdtype)
+
+        J = (obj_cost + obj_regul + obj_penal + obj_penal_dpdm
+             + obj_penal_energy + obj_penal_variation)
+        aux = {
+            "obj_cost": obj_cost,
+            "obj_regul": obj_regul,
+            "obj_penal": obj_penal,
+            "obj_penal_dpdm": obj_penal_dpdm,
+            "obj_penal_energy": obj_penal_energy,
+            "obj_penal_variation": obj_penal_variation,
+            "fidelity": fidelity,
+        }
+        return J, aux
 
     # ------------------------------------------------------------------
     # coefficient rows from parameters
@@ -898,7 +1052,10 @@ class Problem:
             # gradient flows through the hand-derived kernel VJP. 'stream'
             # = one grid-over-steps launch per direction with pipelined
             # H planes; 'chunk' = Tc steps per launch (cross-check).
-            dim, gd, x0k = self._flat_state_layout()
+            if self.real_glue:
+                dim, gd, x0k = self.N, self.gen_diag, None
+            else:
+                dim, gd, x0k = self._flat_state_layout()
             shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
             if s.pallas_mode in ("stream", "streamk"):
                 # 'streamk' contracts the per-step H planes IN-KERNEL from
@@ -909,6 +1066,23 @@ class Problem:
                 # are threaded constants, never differentiated.
                 from .ops.pallas_stream import (make_stream_propagate,
                                                 make_streamk_propagate)
+                if self.real_glue:
+                    # complex-free program: f32 plane pairs end-to-end
+                    prop = make_streamk_propagate(
+                        shape_proto, s.dt, s.linsolve_iters,
+                        gen_diag=gd, linsolver=self.linsolver,
+                        interpret=self._pallas_interpret,
+                        store_iters=self._store_iters_ok(dim),
+                        real_io=True)
+                    x0p = (jnp.asarray(self._x0_planes[0]),
+                           jnp.asarray(self._x0_planes[1]))
+                    (xTr, xTi), (hr, hi) = prop(
+                        jnp.asarray(self.engine.pallas_Sr),
+                        jnp.asarray(self.engine.pallas_Si), x0p, C[:, 0, :])
+                    pl_b, pj_b, pd_b = self._history_penalties_real(hr, hi)
+                    return self._assemble_objective_real(
+                        params, params_ref, xTr, xTi,
+                        pl_b, pj_b, pd_b, energy_int)
                 builder = (make_streamk_propagate
                            if s.pallas_mode == "streamk"
                            else make_stream_propagate)
@@ -1147,14 +1321,34 @@ class Problem:
         G = Pg.shape[0]
         Cs = jax.vmap(self.coeff_rows_mid)(Pg)        # (G, ntime, 1, K)
         Cg = jnp.transpose(Cs[:, :, 0, :], (1, 0, 2))  # (ntime, G, K)
-        dim, gd, x0k = self._flat_state_layout()
+        if self.real_glue:
+            dim, gd, x0k = self.N, self.gen_diag, None
+        else:
+            dim, gd, x0k = self._flat_state_layout()
         shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
         from .ops.pallas_stream import make_streamk_packed_propagate
         prop = make_streamk_packed_propagate(
             shape_proto, s.dt, s.linsolve_iters, gen_diag=gd,
             linsolver=self.linsolver, group=G,
             interpret=self._pallas_interpret,
-            store_iters=self._store_iters_ok(G * dim))
+            store_iters=self._store_iters_ok(G * dim),
+            real_io=self.real_glue)
+        if self.real_glue:
+            x0p = (jnp.asarray(self._x0_planes[0]),
+                   jnp.asarray(self._x0_planes[1]))
+            (xTr, xTi), (hr, hi) = prop(
+                jnp.asarray(self.engine.pallas_Sr),
+                jnp.asarray(self.engine.pallas_Si), x0p, Cg)
+
+            def tail_r(pg, xTr_g, xTi_g, hr_g, hi_g):
+                pl_b, pj_b, pd_b = self._history_penalties_real(hr_g, hi_g)
+                return self._assemble_objective_real(
+                    pg, params_ref, xTr_g, xTi_g, pl_b, pj_b, pd_b,
+                    self._energy_integral(pg))
+
+            Js, aux = jax.vmap(tail_r, in_axes=(0, 0, 0, 1, 1))(
+                Pg, xTr, xTi, hr, hi)
+            return jnp.sum(Js), (Js, aux)
         xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
                         jnp.asarray(self.engine.pallas_Si), x0k, Cg)
         xT, hist = self._unflatten_states(xT, hist)
@@ -1182,7 +1376,14 @@ class Problem:
     _BIG_THRESHOLD = 1 << 16   # elements
 
     def _big_slots(self):
-        slots = [(self, "x0"), (self, "target")]
+        if self.real_glue:
+            # the real-glue objective never touches the complex x0/target
+            # (a complex device_put would also fail outright when the
+            # relay drops complex support); thread their f32 planes
+            slots = [(self, "_x0r"), (self, "_x0i"),
+                     (self, "_tgtr"), (self, "_tgti")]
+        else:
+            slots = [(self, "x0"), (self, "target")]
         eng = self.engine
         for name in ("stack", "Ls", "stackL", "stackR", "cross_diag",
                      "crossA", "crossB", "jumpL", "jumpR",
