@@ -122,7 +122,8 @@ def _djac_planes(gen_diag, dt, N, P):
 
 def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
                        gen_diag=None, linsolver: str = "neumann",
-                       interpret: bool = False, store_iters=None):
+                       interpret: bool = False, store_iters=None,
+                       real_io: bool = False):
     """Build the density-matrix fused propagate (module docstring).
 
     store_iters: store the forward stage iterates ((iters*Hs, P) plane
@@ -203,18 +204,31 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
         return jac, split, dsub
 
     def _pack(x0):
-        B = x0.shape[0]
+        """(B, N, N) complex — or, with real_io, an (xr, xi) f32 pair —
+        into padded (B, P, P) f32 planes (real_io keeps the device
+        program complex-free)."""
+        if real_io:
+            x0r, x0i = x0
+        else:
+            x0r = jnp.real(x0)
+            x0i = jnp.imag(x0)
+        B = x0r.shape[0]
         xr = jnp.zeros((B, P, P), jnp.float32).at[:, :N, :N].set(
-            jnp.real(x0).astype(jnp.float32))
+            x0r.astype(jnp.float32))
         xi = jnp.zeros((B, P, P), jnp.float32).at[:, :N, :N].set(
-            jnp.imag(x0).astype(jnp.float32))
+            x0i.astype(jnp.float32))
         return xr, xi
 
     def _unpack_xT(a, b, dtype):
+        if real_io:
+            return (a[:, :N, :N], b[:, :N, :N])
         return (a[:, :N, :N] + 1j * b[:, :N, :N]).astype(dtype)
 
     def _unpack_hist(hr, hi, dtype):
         # (B, nt, Hs, P) -> (nt, B, N, N)
+        if real_io:
+            return tuple(jnp.swapaxes(h[:, :, :N, :N], 0, 1)
+                         for h in (hr, hi))
         h = (hr[:, :, :N, :N] + 1j * hi[:, :, :N, :N]).astype(dtype)
         return jnp.swapaxes(h, 0, 1)
 
@@ -487,8 +501,13 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
             interpret=interpret,
             **_cparams(_est(4)))
 
+    def _meta(x0):
+        if real_io:
+            return x0[0].shape[0], jnp.float32
+        return x0.shape[0], x0.dtype
+
     def _run_forward(Sr, Si, x0, C):
-        B, dtype = x0.shape[0], x0.dtype
+        B, dtype = _meta(x0)
         ntime = C.shape[0]
         xr0, xi0 = _pack(x0)
         SrT = jnp.swapaxes(Sr, -1, -2)
@@ -508,13 +527,13 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
 
     def fwd2(Sr, Si, x0, C):
         xT, hist, planes, x0p, ks = _run_forward(Sr, Si, x0, C)
-        return (xT, hist), (Sr, Si, C, jnp.zeros_like(x0), planes, x0p, ks)
+        x0_proto = jax.tree.map(jnp.zeros_like, x0)
+        return (xT, hist), (Sr, Si, C, x0_proto, planes, x0p, ks)
 
     def bwd2(res, cots):
         Sr, Si, C, x0_proto, (hr, hi), (x0r, x0i), ks = res
         xT_bar, hist_bar = cots
-        dtype = x0_proto.dtype
-        B = x0_proto.shape[0]
+        B, dtype = _meta(x0_proto)
         ntime = C.shape[0]
         SrT = jnp.swapaxes(Sr, -1, -2)
         SiT = jnp.swapaxes(Si, -1, -2)
@@ -525,6 +544,8 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
         # terminal cotangent planes from the final history rows (the
         # post-last-step state's top Hs rows ARE xT; rows >= N are zero)
         def unpack_last(a, b):
+            if real_io:
+                return (a[:, :N, :N], b[:, :N, :N])
             return (a[:, :N, :N] + 1j * b[:, :N, :N]).astype(dtype)
 
         _, u_vjp = jax.vjp(unpack_last, hr[:, -1], hi[:, -1])

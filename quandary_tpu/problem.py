@@ -528,8 +528,10 @@ class Problem:
         # plane pairs (_assemble_objective_real). Disable with
         # QTPU_REAL_GLUE=0.
         import os as _os
-        self.real_glue = (self.use_pallas and not self.lindblad
+        self.real_glue = (self.use_pallas
                           and s.pallas_mode == "streamk"
+                          and (not self.lindblad
+                               or self.pallas_form == "rho")
                           and _os.environ.get("QTPU_REAL_GLUE", "1") != "0")
         if self.real_glue:
             x0h = np.asarray(self.x0)
@@ -717,24 +719,36 @@ class Problem:
     def _target_planes(self):
         return (self._tgtr, self._tgti)
 
+    def _diag_real(self, xr):
+        """Diagonal entries of one plane: rho_ii for Lindblad states,
+        identity for closed."""
+        if self.lindblad:
+            return jnp.diagonal(xr, axis1=-2, axis2=-1)
+        return xr
+
     def _overlaps_real(self, xr, xi):
-        """Hilbert-Schmidt overlap <target, x> from f32 (..., B, N) planes:
+        """Hilbert-Schmidt overlap <target, x> from f32 plane pairs
+        ((..., B, N) closed / (..., B, N, N) Lindblad):
         conj(t)*x = (tr xr + ti xi) + i (tr xi - ti xr). Returns
         (Re (..., B), Im (..., B))."""
+        axes = tuple(range(-self._srank, 0))
         if self.target is not None:
             tr = jnp.asarray(self._target_planes[0])
             ti = jnp.asarray(self._target_planes[1])
-            re = jnp.sum(tr * xr + ti * xi, axis=-1)
-            im = jnp.sum(tr * xi - ti * xr, axis=-1)
+            re = jnp.sum(tr * xr + ti * xi, axis=axes)
+            im = jnp.sum(tr * xi - ti * xr, axis=axes)
             return re, im
         if self.pure_target_id is not None:
-            return xr[..., self.pure_target_id], xi[..., self.pure_target_id]
-        z = jnp.zeros(xr.shape[:-1], dtype=xr.dtype)
+            dr = self._diag_real(xr)
+            di = self._diag_real(xi)
+            return dr[..., self.pure_target_id], di[..., self.pure_target_id]
+        z = jnp.zeros(xr.shape[:-self._srank], dtype=xr.dtype)
         return z, z
 
     def _eval_J_parts_real(self, xr, xi):
-        """eval_J_parts on f32 plane pairs (closed systems)."""
+        """eval_J_parts on f32 plane pairs (closed or Lindblad states)."""
         obj = self.setup.objective_type
+        axes = tuple(range(-self._srank, 0))
         if obj == "Jtrace":
             re, im = self._overlaps_real(xr, xi)
             return re / jnp.asarray(self.purity, dtype=xr.dtype), im
@@ -742,35 +756,42 @@ class Problem:
             if self.target is not None:
                 dr = xr - jnp.asarray(self._target_planes[0])
                 di = xi - jnp.asarray(self._target_planes[1])
-                J = 0.5 * jnp.sum(dr * dr + di * di, axis=-1)
+                J = 0.5 * jnp.sum(dr * dr + di * di, axis=axes)
             else:
                 m = self.pure_target_id
-                norm2 = jnp.sum(xr * xr + xi * xi, axis=-1)
-                J = 0.5 * (norm2 - 2.0 * xr[..., m] + 1.0)
+                dm = self._diag_real(xr)[..., m]
+                norm2 = jnp.sum(xr * xr + xi * xi, axis=axes)
+                J = 0.5 * (norm2 - 2.0 * dm + 1.0)
             return J, jnp.zeros_like(J)
         if obj == "Jmeasure":
-            pop = xr * xr + xi * xi
+            if self.lindblad:
+                pop = self._diag_real(xr)
+            else:
+                pop = xr * xr + xi * xi
             J = pop @ jnp.asarray(self.measure_weights).astype(pop.dtype)
             return J, jnp.zeros_like(J)
         raise ValueError(obj)
 
     def _history_penalties_real(self, hr, hi):
-        """_history_penalties on f32 (T, B, N) plane pairs (closed)."""
+        """_history_penalties on f32 (T, B, ...) plane pairs."""
         s = self.setup
         pen_leak_b = pen_jt_b = pen_dpdm_b = None
         if self.has_guard and s.gamma_penalty > 1e-13:
-            leak_tb = jnp.sum((hr * hr + hi * hi)
+            dr = self._diag_real(hr)
+            di = self._diag_real(hi)
+            leak_tb = jnp.sum((dr * dr + di * di)
                               * self.guard_mask[None, None, :], axis=-1)
             pen_leak_b = jnp.sum(leak_tb, axis=0) / s.ntime
         if self.jt_weight is not None and s.gamma_penalty > 1e-13:
             re, im = self._eval_J_parts_real(hr, hi)
             if s.objective_type == "Jtrace":
-                Jtb = 1.0 - (re ** 2 + im ** 2)
+                Jtb = (1.0 - re) if self.lindblad \
+                    else 1.0 - (re ** 2 + im ** 2)
             else:
                 Jtb = re
             pen_jt_b = jnp.sum(jnp.asarray(self.jt_weight)[:, None] * Jtb,
                                axis=0) * s.dt
-        if s.gamma_penalty_dpdm > 1e-13:
+        if s.gamma_penalty_dpdm > 1e-13 and not self.lindblad:
             B = hr.shape[1]
             x0r, x0i = self._x0_planes
             pop0 = (jnp.asarray(x0r) ** 2
@@ -795,7 +816,7 @@ class Problem:
         ov_re, ov_im = self._overlaps_real(xTr, xTi)
         fid_re = jnp.sum(ov_re) / self.ninit
         fid_im = jnp.sum(ov_im) / self.ninit
-        fidelity = fid_re ** 2 + fid_im ** 2
+        fidelity = fid_re if self.lindblad else fid_re ** 2 + fid_im ** 2
 
         dx = params - params_ref if s.gamma_tik_interpolate else params
         obj_regul = 0.5 * s.gamma_tik * jnp.sum(dx * dx)
@@ -1020,20 +1041,21 @@ class Problem:
                 self._rho_Ls, s.dt, s.linsolve_iters,
                 gen_diag=self._rho_gen_diag, linsolver=self.linsolver,
                 interpret=self._pallas_interpret,
-                store_iters=ks_bytes <= 1.5 * (1 << 30))
-            x0 = jnp.asarray(self.x0, dtype=s.dtype)
-            if G > 1:
-                x0r = x0.reshape(self.ninit // G, G, N, N)
-                x0g = jnp.zeros((self.ninit // G, NG, NG), s.dtype)
+                store_iters=ks_bytes <= 1.5 * (1 << 30),
+                real_io=self.real_glue)
+            def group_pack(x):
+                if G == 1:
+                    return x
+                xg = x.reshape(self.ninit // G, G, N, N)
+                out = jnp.zeros((self.ninit // G, NG, NG), x.dtype)
                 for g in range(G):
-                    x0g = x0g.at[:, g * N:(g + 1) * N,
-                                 g * N:(g + 1) * N].set(x0r[:, g])
-            else:
-                x0g = x0
-            xT, hist = prop(jnp.asarray(self.engine.pallas_Sr),
-                            jnp.asarray(self.engine.pallas_Si),
-                            x0g, C[:, 0, :])
-            if G > 1:
+                    out = out.at[:, g * N:(g + 1) * N,
+                                 g * N:(g + 1) * N].set(xg[:, g])
+                return out
+
+            def group_unpack(xT, hist):
+                if G == 1:
+                    return xT, hist
                 xT = jnp.stack(
                     [xT[:, g * N:(g + 1) * N, g * N:(g + 1) * N]
                      for g in range(G)], axis=1).reshape(self.ninit, N, N)
@@ -1041,6 +1063,23 @@ class Problem:
                     [hist[:, :, g * N:(g + 1) * N, g * N:(g + 1) * N]
                      for g in range(G)], axis=2).reshape(
                          s.ntime, self.ninit, N, N)
+                return xT, hist
+
+            Srj = jnp.asarray(self.engine.pallas_Sr)
+            Sij = jnp.asarray(self.engine.pallas_Si)
+            if self.real_glue:
+                x0p = (group_pack(jnp.asarray(self._x0r)),
+                       group_pack(jnp.asarray(self._x0i)))
+                (xTr, xTi), (hr, hi) = prop(Srj, Sij, x0p, C[:, 0, :])
+                xTr, hr = group_unpack(xTr, hr)
+                xTi, hi = group_unpack(xTi, hi)
+                pl_b, pj_b, pd_b = self._history_penalties_real(hr, hi)
+                return self._assemble_objective_real(
+                    params, params_ref, xTr, xTi, pl_b, pj_b, pd_b,
+                    energy_int)
+            x0g = group_pack(jnp.asarray(self.x0, dtype=s.dtype))
+            xT, hist = prop(Srj, Sij, x0g, C[:, 0, :])
+            xT, hist = group_unpack(xT, hist)
             pen_leak_b, pen_jt_b, pen_dpdm_b = self._history_penalties(hist)
             return self._assemble_objective(
                 params, params_ref, xT,
