@@ -378,7 +378,7 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=out_specs,
             interpret=interpret,
-            **_cparams(_est(4)))
+            **_cparams(_est(4), semantics=("arbitrary", "arbitrary")))
 
     def _bwd_call(nsteps, B):
         const3 = pl.BlockSpec((K, P, P), lambda b, i: (0, 0, 0), **vmem)
@@ -499,7 +499,7 @@ def make_rho_propagate(stack, Ls, dt: float, iters: int = 10,
             in_specs=in_specs,
             out_specs=(state, state, rrow),
             interpret=interpret,
-            **_cparams(_est(4)))
+            **_cparams(_est(4), semantics=("arbitrary", "arbitrary")))
 
     def _meta(x0):
         if real_io:

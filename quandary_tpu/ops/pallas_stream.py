@@ -104,7 +104,7 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
-def _cparams(est_operand_bytes=None):
+def _cparams(est_operand_bytes=None, semantics=("arbitrary",)):
     """CompilerParams for the streamed kernels. Mosaic's DEFAULT scoped-vmem
     limit is far below the chip's physical VMEM (128 MiB on v4/v5): kernels
     whose estimated operand footprint exceeds the conservative default ask
@@ -113,10 +113,11 @@ def _cparams(est_operand_bytes=None):
     estimate is the caller's sum of resident + double-buffered block bytes;
     Mosaic's own accounting (~2.5x operands, measured round 1) decides the
     real feasibility at compile time — an infeasible kernel fails to build
-    loudly and the caller falls back to the scan engine."""
+    loudly and the caller falls back to the scan engine. `semantics` must
+    match the kernel's grid rank (the rho kernel passes its 2-axis form)."""
     if not _HAVE_PLTPU:
         return {}
-    kw = {"dimension_semantics": ("arbitrary",)}
+    kw = {"dimension_semantics": tuple(semantics)}
     if est_operand_bytes is not None and est_operand_bytes > 10 * (1 << 20):
         kw["vmem_limit_bytes"] = 128 * (1 << 20)
     return {"compiler_params": pltpu.CompilerParams(**kw)}

@@ -334,14 +334,27 @@ class Problem:
             else:
                 tgt = np.einsum("ij,bj->bi", V, x0_np)
             self.target = tgt.astype(npdt)
-        elif s.target_type == "file" and s.target_state_full is not None:
+        elif s.target_type in ("file", "state") \
+                and s.target_state_full is not None:
+            # 'state' is the direct-array spelling of the reference's
+            # file-based fixed target (optimtarget.cpp:701)
             t1 = np.asarray(s.target_state_full, dtype=np.complex128)
+            if self.lindblad and t1.ndim == 1:
+                t1 = np.outer(t1, t1.conj())
             tgt = np.broadcast_to(t1, (self.ninit,) + t1.shape)
             self.target = np.ascontiguousarray(tgt).astype(npdt)
         elif s.target_type == "pure":
             levels = s.pure_target_levels or tuple([0] * model.n_osc)
             from .utils.indexing import flat_index
             self.pure_target_id = flat_index(levels, model.dims)
+        elif s.target_type not in ("none", None):
+            # an unrecognized target silently zeroing the objective cost
+            # is exactly the failure mode that let XLA dead-code-eliminate
+            # whole propagations in perf probes — refuse instead
+            raise ValueError(
+                f"target_type {s.target_type!r} provided without a usable "
+                "target (expected gate/file/state/pure/none with the "
+                "matching target_* field set)")
 
         # purity Tr(rho0^2) per initial condition (optimtarget.cpp:701-708)
         flat0 = x0_np.reshape(self.ninit, -1)
