@@ -56,7 +56,7 @@ def main():
     # --- experiment 1: Tc sweep on the flagship (B=4 inits) ---
     tc_orig = ps.tc_for
     results = {}
-    for tc in (1, 2, 4, 8, 16, 24, 32):
+    for tc in (1, 3, 11, 33):   # divisors of the flagship's ntime=1221
         ps.tc_for = lambda nsteps, _tc=tc: (_tc if nsteps % _tc == 0
                                             else tc_orig(nsteps))
         problem, setup = build_problem(pallas="auto", linsolver="split",
