@@ -543,15 +543,22 @@ class Problem:
         import os as _os
         self.real_glue = (self.use_pallas
                           and s.pallas_mode == "streamk"
-                          and (not self.lindblad
-                               or self.pallas_form == "rho")
                           and _os.environ.get("QTPU_REAL_GLUE", "1") != "0")
+        # Lindblad superop kernels work on the FLAT column-major vec(rho):
+        # the real glue keeps that layout end-to-end (diagonals become the
+        # strided j*(N+1) gather; the HS overlap is the same flat sum)
+        self._real_flat = (self.real_glue and self.lindblad
+                           and self.pallas_form == "superop")
         if self.real_glue:
             x0h = np.asarray(self.x0)
+            th = None if self.target is None else np.asarray(self.target)
+            if self._real_flat:
+                x0h = x0h.transpose(0, 2, 1).reshape(self.ninit, -1)
+                if th is not None:
+                    th = th.transpose(0, 2, 1).reshape(self.ninit, -1)
             self._x0r = np.ascontiguousarray(x0h.real).astype(np.float32)
             self._x0i = np.ascontiguousarray(x0h.imag).astype(np.float32)
-            if self.target is not None:
-                th = np.asarray(self.target)
+            if th is not None:
                 self._tgtr = np.ascontiguousarray(th.real).astype(np.float32)
                 self._tgti = np.ascontiguousarray(th.imag).astype(np.float32)
             else:
@@ -732,10 +739,21 @@ class Problem:
     def _target_planes(self):
         return (self._tgtr, self._tgti)
 
+    @property
+    def _real_srank(self):
+        """State rank of the real-glue plane pairs: 1 for closed states
+        AND for the flat vec(rho) superop layout, 2 for rho matrices."""
+        if getattr(self, "_real_flat", False):
+            return 1
+        return self._srank
+
     def _diag_real(self, xr):
-        """Diagonal entries of one plane: rho_ii for Lindblad states,
-        identity for closed."""
+        """Diagonal entries of one plane: rho_ii for Lindblad states
+        (strided gather in the flat vec layout), identity for closed."""
         if self.lindblad:
+            if getattr(self, "_real_flat", False):
+                idx = np.arange(self.N) * (self.N + 1)
+                return xr[..., idx]
             return jnp.diagonal(xr, axis1=-2, axis2=-1)
         return xr
 
@@ -744,7 +762,7 @@ class Problem:
         ((..., B, N) closed / (..., B, N, N) Lindblad):
         conj(t)*x = (tr xr + ti xi) + i (tr xi - ti xr). Returns
         (Re (..., B), Im (..., B))."""
-        axes = tuple(range(-self._srank, 0))
+        axes = tuple(range(-self._real_srank, 0))
         if self.target is not None:
             tr = jnp.asarray(self._target_planes[0])
             ti = jnp.asarray(self._target_planes[1])
@@ -755,13 +773,13 @@ class Problem:
             dr = self._diag_real(xr)
             di = self._diag_real(xi)
             return dr[..., self.pure_target_id], di[..., self.pure_target_id]
-        z = jnp.zeros(xr.shape[:-self._srank], dtype=xr.dtype)
+        z = jnp.zeros(xr.shape[:-self._real_srank], dtype=xr.dtype)
         return z, z
 
     def _eval_J_parts_real(self, xr, xi):
         """eval_J_parts on f32 plane pairs (closed or Lindblad states)."""
         obj = self.setup.objective_type
-        axes = tuple(range(-self._srank, 0))
+        axes = tuple(range(-self._real_srank, 0))
         if obj == "Jtrace":
             re, im = self._overlaps_real(xr, xi)
             return re / jnp.asarray(self.purity, dtype=xr.dtype), im
@@ -874,6 +892,17 @@ class Problem:
     # ------------------------------------------------------------------
     # objective
     # ------------------------------------------------------------------
+
+
+    def _real_layout(self):
+        """(dim, gen_diag) in the fused kernels' flat conventions for the
+        real-glue path (no complex x0 materialization)."""
+        if self._real_flat:
+            gd = self.gen_diag
+            if gd is not None:
+                gd = np.asarray(gd).T.reshape(-1)
+            return self.N * self.N, gd
+        return self.N, self.gen_diag
 
     def _flat_state_layout(self):
         """The fused kernels' flat-state conventions, shared by every
@@ -1105,7 +1134,7 @@ class Problem:
             # = one grid-over-steps launch per direction with pipelined
             # H planes; 'chunk' = Tc steps per launch (cross-check).
             if self.real_glue:
-                dim, gd, x0k = self.N, self.gen_diag, None
+                (dim, gd), x0k = self._real_layout(), None
             else:
                 dim, gd, x0k = self._flat_state_layout()
             shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
@@ -1374,7 +1403,7 @@ class Problem:
         Cs = jax.vmap(self.coeff_rows_mid)(Pg)        # (G, ntime, 1, K)
         Cg = jnp.transpose(Cs[:, :, 0, :], (1, 0, 2))  # (ntime, G, K)
         if self.real_glue:
-            dim, gd, x0k = self.N, self.gen_diag, None
+            (dim, gd), x0k = self._real_layout(), None
         else:
             dim, gd, x0k = self._flat_state_layout()
         shape_proto = np.zeros((self.model.K, dim, dim), np.complex64)
