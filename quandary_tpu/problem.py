@@ -1607,8 +1607,14 @@ class Problem:
             return {}
         eobj = self._ensemble_objective()
         evg = self._ensemble_vg()
+
+        def vgb(xs):
+            (J, _aux), gr = evg(xs, params_ref)
+            return J, gr
+
         return dict(objective_batch=lambda xs: eobj(xs, params_ref)[0],
-                    grad_batch=lambda xs: evg(xs, params_ref)[1])
+                    grad_batch=lambda xs: evg(xs, params_ref)[1],
+                    vg_batch=vgb)
 
     def _ensemble_shard(self, fn, mesh, axis, out_specs):
         """shard_map `fn(Ps, ref)` over the candidate (leading-Ps) axis of

@@ -56,25 +56,28 @@ def main(E=16, iters=60):
     kw = problem.packed_batch_fns(ref)
     run = problem._wrap_with_data(
         lambda xs: batched_lbfgsb(objective, grad, xs, lb, ub,
-                                  iters=iters, ls_lengths=8, **kw))
+                                  iters=iters, ls_lengths=8,
+                                  return_stats=True, **kw))
     t0 = time.perf_counter()
-    xb, fb, tr = run(x0s)
+    xb, fb, tr, stats = run(x0s)
     fb = np.asarray(fb)
     compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
-    xb, fb, tr = run(x0s)
+    xb, fb, tr, stats = run(x0s)
     fb = np.asarray(fb)
     tr = np.asarray(tr)
+    nladder = int(stats["ladder_iters"])
     warm = time.perf_counter() - t0
 
-    # Delivered-throughput accounting (VERDICT round-3 item 4): per L-BFGS
-    # iteration every candidate runs 1 full gradient sweep (grad_b) plus
-    # ls_lengths=8 forward-only objective evaluations (the parallel
-    # backtracking). A forward eval costs ~1/3 of a gradient sweep
-    # (forward vs forward+adjoint+replay), so the conservative aggregate
-    # is gradient sweeps alone and the equivalent adds L/3.
+    # Delivered-throughput accounting (VERDICT round-3 item 4): with the
+    # round-5 SPECULATIVE per-candidate step scale, every post-warmup
+    # L-BFGS iteration costs exactly ONE batched value_and_grad; only the
+    # `ladder_iters` warmup iterations run the 8-trial backtracking ladder
+    # (8 forward programs each, on top of their gradient). A forward eval
+    # costs ~1/3 of a gradient sweep, so the conservative aggregate counts
+    # gradient sweeps alone and the equivalent adds the ladder work.
     grad_sweeps = E * (iters + 1)
-    fwd_evals = E * 8 * iters
+    fwd_evals = E * 8 * nladder
     # time to best-so-far population minimum crossing 1e-3 objective
     best_so_far = np.minimum.accumulate(tr.min(axis=1))
     hit = np.argmax(best_so_far < 1e-3) if (best_so_far < 1e-3).any() else -1
@@ -91,6 +94,8 @@ def main(E=16, iters=60):
         "agg_gradient_sweeps_per_s": round(grad_sweeps / warm, 1),
         "agg_sweep_equiv_per_s": round(
             (grad_sweeps + fwd_evals / 3.0) / warm, 1),
+        "ladder_iters": nladder,
+        "rejected_cand_iters": int(stats.get("rejected", 0)),
         "iters_to_obj_1e-3": int(hit),
         "time_to_obj_1e-3_s": (round(float(hit) * per_iter, 3)
                                if hit >= 0 else None),

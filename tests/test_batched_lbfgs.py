@@ -53,3 +53,56 @@ def test_batched_multistart_state_transfer():
     # bounds respected
     assert np.all(xbest >= np.asarray(lb) - 1e-12)
     assert np.all(xbest <= np.asarray(ub) + 1e-12)
+
+
+def test_speculative_adaptive_quality():
+    """The speculative per-candidate step-scale line search (round 5) must
+    reach the classic backtracking ladder's quality class: same population
+    best to optimizer-grade tolerance, monotone traces, and its steady
+    state must cost one batched value_and_grad per iteration (stats expose
+    the warmup ladder count and total rejections)."""
+    freq01 = [4.10595]
+    model = build_standard_model(
+        nlevels=[2], freq01_ghz=freq01, rotfreq_ghz=freq01, selfkerr_ghz=[0.2198])
+    T, ntime = 80.0, 400
+    osc = OscillatorControl(
+        segments=(ControlSegment("spline", nsplines=12, tstart=0.0, tstop=T),),
+        carrier_freqs=(0.0,))
+    setup = Setup(
+        model=model, nessential=(2,), ntime=ntime, dt=T / ntime,
+        oscillators=(osc,), ground_freqs_radns=(2 * np.pi * freq01[0],),
+        initcond_type="pure", pure_levels=(0,),
+        target_type="pure", pure_target_levels=(1,),
+        objective_type="Jfrobenius", gamma_tik=1e-8)
+    prob = Problem(setup)
+    ref = jnp.zeros(setup.nparams)
+
+    def objective(x):
+        J, _ = prob.objective(x, ref)
+        return J
+
+    grad = jax.grad(objective)
+    lb, ub = build_bounds(setup.oscillators, [[0.5]])
+    E = 4
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (E, setup.nparams)) * 0.01)
+
+    xs, fs, trs, stats = jax.jit(lambda xs: batched_lbfgsb(
+        objective, grad, xs, lb, ub, iters=40, history=6,
+        speculative=True, return_stats=True))(x0s)
+    xl, fl, trl = jax.jit(lambda xs: batched_lbfgsb(
+        objective, grad, xs, lb, ub, iters=40, history=6,
+        speculative=False))(x0s)
+    trs, trl = np.asarray(trs), np.asarray(trl)
+
+    # warmup iterations ARE the classic ladder: identical prefix
+    np.testing.assert_allclose(trs[:4], trl[:4], rtol=1e-10, atol=1e-12)
+    # monotone best-so-far in both modes
+    assert np.all(np.diff(np.minimum.accumulate(trs.min(axis=1))) <= 1e-15)
+    # the adaptive mode reaches the ladder's quality class
+    assert float(np.min(np.asarray(fs))) < max(
+        1e-4, 3.0 * float(np.min(np.asarray(fl))))
+    # stats: warmup count is static; rejections are a small fraction of
+    # the candidate-iterations on this well-behaved problem
+    assert int(stats["ladder_iters"]) == 3
+    assert int(stats["rejected"]) < 40 * E // 2, stats
