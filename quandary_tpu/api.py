@@ -484,8 +484,9 @@ class Quandary:
             return J
 
         kw = problem.packed_batch_fns(ref)
-        xbest, fbest, _ = jax.jit(lambda xs: batched_lbfgsb(
-            objective, jax.grad(objective), xs, lb, ub, iters=30, **kw))(x0s)
+        run = problem._wrap_with_data(lambda xs: batched_lbfgsb(
+            objective, jax.grad(objective), xs, lb, ub, iters=30, **kw))
+        xbest, fbest, _ = run(x0s)
         best = int(jnp.argmin(fbest))
         if self.verbose:
             print(f"multistart: candidate objectives {np.round(np.asarray(fbest), 6)}"
