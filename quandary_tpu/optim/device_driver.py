@@ -62,7 +62,7 @@ def _two_loop(g, S, Y, rho, count, m):
 
 
 def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
-                           ls_lengths=12, c1=1e-4, maxiter=200,
+                           ls_lengths=8, c1=1e-4, maxiter=200,
                            gatol=1e-8, grtol=1e-4, fatol=1e-8, inftol=1e-5):
     """Returns (init_fn, chunk_fn):
     state = init_fn(params0, params_ref); state, rows, done = chunk_fn(state).
@@ -79,9 +79,14 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
 
     # With the lane-packed fused kernels (pack_group > 1) the line search
     # goes SPECULATIVE: value_and_grad at ALL trial lengths in packed
-    # groups (ls_lengths=12 -> two kernel programs), then select — the
-    # gradient at the accepted point comes out of the same launch, so the
-    # separate post-selection vg sweep disappears. Without packing the
+    # groups (ls_lengths=8 at the flagship's pack_group=8 -> ONE kernel
+    # program per iteration), then select — the gradient at the accepted
+    # point comes out of the same launch, so the separate post-selection
+    # vg sweep disappears. The trial WINDOW is adaptive (round 5): lengths
+    # are tscale * 0.5^j with tscale remembered across iterations (grown
+    # back toward the unit step on acceptance), so 8 trials reach
+    # arbitrarily small steps across iterations without the 12-length
+    # static ladder that cost a second kernel program. Without packing the
     # objective-only probes + one vg stay cheaper (the probes skip the
     # backward pass).
     packed_ls = problem.pack_group > 1
@@ -121,6 +126,7 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
             rho=jnp.zeros((m,), rdtype), count=jnp.zeros((), jnp.int32),
             it=jnp.zeros((), jnp.int32), gnorm0=gnorm0,
             done=jnp.zeros((), jnp.bool_), step=jnp.zeros((), rdtype),
+            tscale=jnp.ones((), rdtype),
         )
 
     def one_iteration(st):
@@ -137,8 +143,10 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
         cap = jnp.minimum(1.0, 0.25 / jnp.maximum(dmax, 1e-30))
         d = jnp.where(st["count"] == 0, cap * d, d)
 
-        # parallel Armijo backtracking: all trial lengths in one batched call
-        xc = jax.vmap(project)(x[None, :] + ts[:, None] * d[None, :])  # (L,n)
+        # parallel Armijo backtracking: all trial lengths in one batched
+        # call, in the adaptive window tscale * {1, 1/2, ..., 1/2^(L-1)}
+        ts_row = st["tscale"] * ts
+        xc = jax.vmap(project)(x[None, :] + ts_row[:, None] * d[None, :])
         if packed_ls:
             # speculative: f AND g at every trial length from the packed
             # group kernels; the accepted point's gradient is already here
@@ -151,7 +159,11 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
         any_ok = jnp.any(armijo)
         pick = jnp.where(any_ok, jnp.argmax(armijo), 0)
         x_new = jnp.where(any_ok, xc[pick], x)
-        step = jnp.where(any_ok, ts[pick], 0.0).astype(rdtype)
+        step = jnp.where(any_ok, ts_row[pick], 0.0).astype(rdtype)
+        # remember the accepted length, grown back toward the unit step
+        tscale = jnp.where(any_ok,
+                           jnp.minimum(1.0, 2.0 * ts_row[pick]),
+                           st["tscale"]).astype(rdtype)
 
         if packed_ls:
             f_new = jnp.where(any_ok, fc[pick], f)
@@ -187,7 +199,7 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
 
         return dict(st, x=x_new, f=f_new, g=g_new, aux=av, S=S, Y=Y,
                     rho=rho, count=count, it=st["it"] + 1, done=done,
-                    step=step)
+                    step=step, tscale=tscale)
 
     def chunk_fn(st):
         def body(st, _):
@@ -222,7 +234,7 @@ def run_optimization_device(
     verbose: bool = True,
     chunk: int = 10,
     history: int = 8,
-    ls_lengths: int = 12,
+    ls_lengths: int = 8,
     datadir: Optional[str] = None,
     output_frequency: int = 1,
 ) -> OptimResult:
