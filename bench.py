@@ -243,11 +243,15 @@ def _child(pallas: str, dev: str, results_path: str):
                results_path=results_path)
 
 
-def _run_multistart(results_path, E=128, iters=60):
-    """Delivered-optimization probe: E random CNOT starts refined by
-    `iters` batched projected-L-BFGS iterations in ONE jit (the
-    multistart_bench.py protocol, speculative per-candidate line-search
-    scale). Emits aggregate gradient sweeps/s of the REAL optimization."""
+def multistart_protocol(E, iters, seed=1234, init_scale=0.03):
+    """The SHARED delivered-optimization protocol: E random CNOT starts
+    refined by `iters` batched projected-L-BFGS iterations in ONE jit
+    (speculative per-candidate line-search scale, 3-iteration classic
+    warmup). Used by both the official bench probe (_run_multistart) and
+    scripts/perf/multistart_bench.py so the two cannot drift.
+
+    Returns dict with xb (E, n), fb (E,), tr (iters+1, E), nladder,
+    nrejected, warm_wall_s, compile_and_run_s, problem, setup."""
     import jax
     import jax.numpy as jnp
     from quandary_tpu.optim.batched_lbfgs import batched_lbfgsb
@@ -260,27 +264,43 @@ def _run_multistart(results_path, E=128, iters=60):
         J, _ = problem.objective(x, ref)
         return J
 
+    # reference-style bound box (maxctrl ~15 MHz class)
     bound = 15e-3 * 2 * np.pi / np.sqrt(2.0) / 2.0 * 3.0
     lb = -bound * np.ones(setup.nparams, np.float32)
     ub = bound * np.ones(setup.nparams, np.float32)
-    rng = np.random.default_rng(1234)
-    x0s = jnp.asarray(rng.uniform(-1, 1, (E, setup.nparams)) * 0.03,
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (E, setup.nparams)) * init_scale,
                       jnp.float32)
     kw = problem.packed_batch_fns(ref)
     run = problem._wrap_with_data(
         lambda xs: batched_lbfgsb(objective, jax.grad(objective), xs, lb,
-                                  ub, iters=iters, ls_lengths=8, **kw))
-    xb, fb, _ = run(x0s)
-    fb = np.asarray(fb)                      # sync (includes compile)
+                                  ub, iters=iters, ls_lengths=8,
+                                  return_stats=True, **kw))
     t0 = time.time()
-    xb, fb, _ = run(x0s)
+    xb, fb, tr, stats = run(x0s)
+    fb = np.asarray(fb)                      # sync (includes compile)
+    compile_and_run = time.time() - t0
+    t0 = time.time()
+    xb, fb, tr, stats = run(x0s)
     fb = np.asarray(fb)
     warm = time.time() - t0
+    return dict(xb=xb, fb=fb, tr=np.asarray(tr),
+                nladder=int(stats["ladder_iters"]),
+                nrejected=int(stats["rejected"]),
+                warm_wall_s=warm, compile_and_run_s=compile_and_run,
+                problem=problem, setup=setup)
+
+
+def _run_multistart(results_path, E=128, iters=60):
+    """Delivered-optimization probe: emits aggregate gradient sweeps/s of
+    a REAL population optimization into the official bench record."""
+    r = multistart_protocol(E, iters)
+    warm = r["warm_wall_s"]
     fields = {
         "delivered_opt_E": E, "delivered_opt_iters": iters,
         "delivered_opt_wall_s": round(warm, 2),
         "delivered_opt_grad_sweeps_per_s": round(E * (iters + 1) / warm, 1),
-        "delivered_opt_best_objective": float(np.min(fb)),
+        "delivered_opt_best_objective": float(np.min(r["fb"])),
     }
     line = json.dumps({"stage": "ms-done", "fields": fields})
     with open(results_path, "a") as f:

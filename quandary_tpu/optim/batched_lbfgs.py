@@ -84,8 +84,16 @@ def batched_lbfgsb(
 
     Returns (x_best (E, n), f_best (E,), f_trace (iters+1, E)); with
     return_stats=True appends a dict: 'ladder_iters' (iterations that ran
-    the classic ladder), 'rejected' (total rejected candidate-iterations
-    in speculative mode).
+    the classic ladder), 'rejected' (total rejected candidate-iterations,
+    counting BOTH ladder iterations whose whole trial row failed and
+    speculative-phase rejections).
+
+    Cost note: the one-value_and_grad-per-iteration steady state requires
+    either no batch hooks at all (vg_b is derived from `objective`) or the
+    full hook triple INCLUDING `vg_batch` (Problem.packed_batch_fns
+    supplies all three). Passing only objective_batch/grad_batch falls
+    back to a forward + a separate gradient per iteration (~1.3x a fused
+    value_and_grad).
     """
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)

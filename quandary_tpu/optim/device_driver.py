@@ -160,10 +160,14 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
         pick = jnp.where(any_ok, jnp.argmax(armijo), 0)
         x_new = jnp.where(any_ok, xc[pick], x)
         step = jnp.where(any_ok, ts_row[pick], 0.0).astype(rdtype)
-        # remember the accepted length, grown back toward the unit step
+        # remember the accepted length, grown back toward the unit step;
+        # on TOTAL rejection shift the window below the smallest tried
+        # length and retry next iteration (the static 12-rung ladder could
+        # reach 1/2048 in one shot; the adaptive window reaches it across
+        # iterations instead of terminating)
         tscale = jnp.where(any_ok,
                            jnp.minimum(1.0, 2.0 * ts_row[pick]),
-                           st["tscale"]).astype(rdtype)
+                           ts_row[-1] * 0.5).astype(rdtype)
 
         if packed_ls:
             f_new = jnp.where(any_ok, fc[pick], f)
@@ -191,10 +195,13 @@ def build_device_optimizer(problem, lb, ub, *, chunk=10, history=8,
 
         gnorm = jnp.linalg.norm(fb_residual(x_new, g_new))
         av = av_new
-        # stopping tests (driver.run_optimization / optimproblem.cpp:607-624)
+        # stopping tests (driver.run_optimization / optimproblem.cpp:607-624).
+        # A rejected window alone is NOT failure — the shrunken window
+        # retries next iteration; the line search has genuinely failed only
+        # once the window has collapsed to f32-negligible steps.
         done = ((1.0 - av[0] <= inftol) | (av[1] <= fatol)
                 | (gnorm < gatol) | (gnorm / st["gnorm0"] < grtol)
-                | ~any_ok        # line-search failure terminates too
+                | (~any_ok & (tscale < 1e-7))
                 | (st["it"] + 1 >= maxiter))
 
         return dict(st, x=x_new, f=f_new, g=g_new, aux=av, S=S, Y=Y,

@@ -14,15 +14,17 @@ engines: comma list of fused,tp,scan (default all)
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 def measure(problem, setup, reps, n_timed):
+    assert n_timed >= 1, "need at least one timed call"
     import jax.numpy as jnp
     rng = np.random.default_rng(7)
     Ps = jnp.asarray(rng.uniform(-1, 1, (reps, 1, setup.nparams)) * 0.005,
