@@ -213,6 +213,12 @@ def main():
         ms = [r for r in records() if r.get("stage") == "ms-done"]
         if ms:
             best.update(ms[-1]["fields"])
+        if best.get("device") == "cpu":
+            # the CPU safety net only wins when every TPU attempt failed —
+            # say so explicitly so a relay outage is not read as a chip
+            # regression (see BENCH_r04.json for the TPU record)
+            best["note"] = ("TPU relay unreachable for this run; value is "
+                            "the CPU fallback, not the chip record")
         print(json.dumps(best))
         return
     recs = records()
