@@ -262,7 +262,12 @@ class Problem:
         self.N = model.N
         s = setup
 
-        self.rdtype = jnp.float64 if s.dtype == jnp.complex128 else jnp.float32
+        # canonicalize against the runtime x64 state: with jax_enable_x64
+        # off, a requested f64 silently truncates to f32 anyway — declare
+        # what actually runs instead of warning on every zeros()
+        self.rdtype = (jnp.float64
+                       if s.dtype == jnp.complex128 and jax.config.jax_enable_x64
+                       else jnp.float32)
 
         # --- engine: dense operator stack (HamiltonianModel) or matrix-free
         # per-axis contractions (StructuredModel) ---
