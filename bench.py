@@ -158,8 +158,11 @@ def main():
         pool = tpu or finals
         return max(pool, key=lambda r: r.get("value", 0.0))
 
-    # CPU safety net runs concurrently — zero relay interaction.
-    cpu_proc = spawn("auto", "cpu")
+    # CPU safety net runs concurrently — zero relay interaction. Uses the
+    # split-stepper config like the TPU headline: measured 46.5 vs 7.8
+    # sweeps/s for the neumann-8 "auto" config on this host (the split
+    # stepper needs 3 stage iterations instead of 8 for better accuracy).
+    cpu_proc = spawn("split", "cpu")
     # Virtual-mesh overhead probe (also CPU-only): the headline sweeps
     # program sharded over an 8-device virtual mesh at FIXED total work —
     # quantifies the shard_map partitioning + psum overhead that the
@@ -391,10 +394,15 @@ def _run_bench(device: str, pallas="auto", results_path=None):
                                        linsolve_iters=3)
     else:
         problem, setup = build_problem(pallas=pallas)
-    engine = ("pallas-fused-split" if pallas == "split" else "pallas-fused") \
-        if problem.use_pallas else "xla-scan"
-    if problem.use_pallas and setup.pallas_mode == "streamk":
-        engine += "-streamk"
+    if problem.use_pallas:
+        engine = "pallas-fused-split" if pallas == "split" else "pallas-fused"
+        if setup.pallas_mode == "streamk":
+            engine += "-streamk"
+    else:
+        engine = ("time-parallel" if getattr(problem, "time_parallel", False)
+                  else "xla-scan")
+        if pallas == "split":
+            engine += "-split"
     vg = problem.build_value_and_grad()
     params = jnp.asarray(np.random.default_rng(1234).uniform(
         -1, 1, setup.nparams) * 0.005, dtype=jnp.float32)
