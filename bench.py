@@ -344,7 +344,9 @@ def _run_vmesh(results_path):
                 f.write(line + "\n")
         print(line)
 
-    problem, setup = build_problem()
+    # same stepper config as the headline program, so the overhead ratio
+    # is measured on the program it scales
+    problem, setup = build_problem(linsolver="split", linsolve_iters=3)
     E, reps = 32, 2
     rng = np.random.default_rng(7)
     Ps = jnp.asarray(rng.uniform(-1, 1, (reps, E, setup.nparams)) * 0.005,
