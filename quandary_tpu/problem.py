@@ -1602,24 +1602,39 @@ class Problem:
 
         return eobj
 
-    def packed_batch_fns(self, params_ref):
+    def packed_batch_fns(self, params_ref, mesh=None, axis="init"):
         """batched_lbfgsb hooks that route a population's objective/grad
         evaluations through the packed group kernels (G candidates per MXU
         issue). Returns {} when packing is unavailable — callers splat the
         result into batched_lbfgsb(**kw) and get the plain vmaps then.
-        Shared by Quandary._multistart_best and the multistart bench."""
+        Shared by Quandary._multistart_best and the multistart bench.
+
+        With `mesh`, every evaluation is shard_map'ed over the candidate
+        axis (each device runs its E/n population slice through the full
+        packed path) — a WHOLE population optimization then scales across
+        chips like the throughput headline; sharded-vs-unsharded parity is
+        pinned in test_sharding.py."""
         if self.pack_group <= 1:
             return {}
         eobj = self._ensemble_objective()
         evg = self._ensemble_vg()
 
-        def vgb(xs):
-            (J, _aux), gr = evg(xs, params_ref)
+        def obj_only(Ps, ref):
+            return eobj(Ps, ref)[0]
+
+        def vg_only(Ps, ref):
+            (J, _aux), gr = evg(Ps, ref)
             return J, gr
 
-        return dict(objective_batch=lambda xs: eobj(xs, params_ref)[0],
-                    grad_batch=lambda xs: evg(xs, params_ref)[1],
-                    vg_batch=vgb)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            obj_only = self._ensemble_shard(obj_only, mesh, axis, P(axis))
+            vg_only = self._ensemble_shard(vg_only, mesh, axis,
+                                           (P(axis), P(axis)))
+
+        return dict(objective_batch=lambda xs: obj_only(xs, params_ref),
+                    grad_batch=lambda xs: vg_only(xs, params_ref)[1],
+                    vg_batch=lambda xs: vg_only(xs, params_ref))
 
     def _ensemble_shard(self, fn, mesh, axis, out_specs):
         """shard_map `fn(Ps, ref)` over the candidate (leading-Ps) axis of
