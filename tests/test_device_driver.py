@@ -189,3 +189,25 @@ def test_device_driver_packed_speculative_line_search():
     assert resD.history[-1].objective < resD.history[0].objective
     # history rows carry real aux columns from the speculative evals
     assert 0.0 <= resD.history[-1].fidelity <= 1.0 + 1e-6
+
+
+def test_device_driver_window_shift_recovers():
+    """Round 5: the adaptive line-search window must SHIFT below its
+    smallest trial on a fully rejected row and retry, not terminate — at
+    ls_lengths=1 every backtrack requires a window shift, so convergence
+    of this run pins the retry semantics (the pre-fix behavior terminated
+    on the first rejected row with 'line search failed')."""
+    prob, setup, params0 = _problem()
+    lb = np.full(setup.nparams, -1.0)
+    ub = np.full(setup.nparams, 1.0)
+    res = run_optimization_device(
+        prob, params0, lb, ub, chunk=8, ls_lengths=1, maxiter=40,
+        gatol=1e-14, grtol=1e-30, inftol=1e-12, fatol=1e-14, verbose=False)
+    # ran to maxiter with real progress (gnorm down ~50x, monotone
+    # objective, accepted steps) instead of stopping on a rejected row
+    assert res.history[-1].objective < res.history[0].objective
+    assert res.history[-1].gnorm < 0.05 * res.history[0].gnorm, res.history[-1]
+    assert res.niter == 40, res.reason
+    assert "line search failed" not in res.reason
+    assert np.all(res.params >= lb - 1e-12)
+    assert np.all(res.params <= ub + 1e-12)
