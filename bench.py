@@ -123,7 +123,12 @@ def main():
 
     def spawn(pallas, dev):
         env = dict(os.environ)
-        if dev == "vmesh":
+        if dev in ("vmesh", "cpu"):
+            # cpu: the safety net shards its ensemble stage over a virtual
+            # mesh to use every host core (measured 2.6x on this 4-core
+            # host by the vmesh overhead probe) — a relay outage then
+            # records ~130 instead of ~50 sweeps/s, still honestly
+            # labeled as the CPU fallback.
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                                 " --xla_force_host_platform_device_count=8")
         return subprocess.Popen(
@@ -178,13 +183,24 @@ def main():
     # "auto" = Jacobi-IMR kernels (reference-exact discretization datum).
     tpu_attempts = [("split", 1500), ("auto", 900), ("split", 900),
                     ("auto", 900), ("false", 900)]
+    wedged = 0
     for i, (pallas, tmo) in enumerate(tpu_attempts):
+        n_before = sum(1 for r in records() if ":tpu" in str(r.get("stage")))
         wait(spawn(pallas, "tpu"), tmo)
         recs = records()
         if any(r.get("metric") and r.get("device") != "cpu" for r in recs):
             if i == 0:
                 # one confirmation run now that the cache is warm
                 wait(spawn(pallas, "tpu"), 600)
+            break
+        # A WEDGED relay hangs every device op: the child then emits zero
+        # TPU stage records for its whole timeout. Two consecutive
+        # record-free attempts (>= 40 min combined, cache-warm for the
+        # second) distinguish an outage from a slow first compile — stop
+        # burning attempts and let the CPU safety net carry the record.
+        n_after = sum(1 for r in records() if ":tpu" in str(r.get("stage")))
+        wedged = wedged + 1 if n_after == n_before else 0
+        if wedged >= 2:
             break
         time.sleep(5)
 
@@ -458,20 +474,35 @@ def _run_bench(device: str, pallas="auto", results_path=None):
     # v5e (scripts/perf/packed_bench.py): 8 -> 1940, 32 -> 2701,
     # 64 -> 3061, 128 -> 3301, 256 -> 3050, 512 -> 3329 sweeps/s — E=128
     # is the plateau knee; CPU stays at 16 to bound safety-net latency.
-    E = 128 if device == "tpu" else 16
+    mesh = None
+    if device == "tpu":
+        E = 128
+    else:
+        # CPU safety net: shard the candidate axis over the virtual-device
+        # mesh (spawn sets 8 host devices) so the fallback uses every host
+        # core — same program the vmesh overhead probe validates, parity
+        # pinned in tests/test_sharding.py.
+        E = 32
+        ndev = len(jax.devices())
+        if ndev > 1:
+            from quandary_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(ndev, 1)
+            engine += f"+vmesh{ndev}"
     n = 6
     Ps = jnp.asarray(rng.uniform(-1, 1, (n, E, setup.nparams)) * 0.005,
                      dtype=jnp.float32)
-    freps = problem.build_ensemble_sweeps()
-    _ = float(freps(Ps, params))          # compile + warm
-    emit({"stage": f"ensemble-warm:{device}"})
-    # statistic: MEAN over 3 timed repetitions of the n-sweep program
-    # (pipelining makes the timings tight — observed spread <0.1% — so
-    # mean vs best is immaterial, but mean keeps rows comparable)
-    t0 = time.perf_counter()
-    for _i in range(3):
-        _ = float(freps(Ps, params))
-    ensemble_per_s = 3 * n * E / (time.perf_counter() - t0)
+    import contextlib
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        freps = problem.build_ensemble_sweeps(mesh=mesh)
+        _ = float(freps(Ps, params))          # compile + warm
+        emit({"stage": f"ensemble-warm:{device}"})
+        # statistic: MEAN over 3 timed repetitions of the n-sweep program
+        # (pipelining makes the timings tight — observed spread <0.1% — so
+        # mean vs best is immaterial, but mean keeps rows comparable)
+        t0 = time.perf_counter()
+        for _i in range(3):
+            _ = float(freps(Ps, params))
+        ensemble_per_s = 3 * n * E / (time.perf_counter() - t0)
 
     sweeps_per_s = ensemble_per_s
 
