@@ -63,6 +63,20 @@ import os as _os
 _PRECISION_MODE = _os.environ.get("QTPU_PALLAS_PRECISION", "high")
 
 
+def _stacked_matvec() -> bool:
+    """Sublane-stacked matvecs: apply each H-plane dot to the row-stacked
+    [vr; vi] (2Bp, P) operand, halving MXU issues per matvec (4 -> 2 dots
+    per T/Tt application). Row results are independent and the bf16 hi/lo
+    split is elementwise, so the math is IDENTICAL to the unstacked form —
+    only the issue count changes. The round-4 sublane-occupancy probe
+    measured 8 vs 16 occupied sublane rows at the same per-issue cost
+    (docs/performance.md), which is exactly the capacity this exploits.
+    Gated OFF until measured on real hardware (set
+    QTPU_PALLAS_STACKED_MATVEC=1): prepared during the round-5 relay
+    outage, numerically pinned by CPU interpret-mode parity tests."""
+    return _os.environ.get("QTPU_PALLAS_STACKED_MATVEC", "0") == "1"
+
+
 def _bf16_pair(a):
     """bf16 hi/lo decomposition of an f32 operand (16 mantissa bits)."""
     ah = a.astype(jnp.bfloat16)
@@ -247,10 +261,20 @@ def _fwd_step(HrT_v, HiT_v, xr, xi, store_k, *, dt, iters, jac, split):
     HrT = _prep_rhs(HrT_v)
     HiT = _prep_rhs(HiT_v)
 
-    def matvec(vr, vi):  # T(v) = -i H v, rows: v @ H^T in planes
-        ar = _dot(vr, HrT) - _dot(vi, HiT)
-        ai = _dot(vr, HiT) + _dot(vi, HrT)
-        return ai, -ar
+    if _stacked_matvec():
+        def matvec(vr, vi):  # T(v) = -i H v on the row-stacked [vr; vi]
+            Bp = vr.shape[0]
+            z = jnp.concatenate([vr, vi], axis=0)
+            zr = _dot(z, HrT)
+            zi = _dot(z, HiT)
+            ar = zr[:Bp] - zi[Bp:]
+            ai = zi[:Bp] + zr[Bp:]
+            return ai, -ar
+    else:
+        def matvec(vr, vi):  # T(v) = -i H v, rows: v @ H^T in planes
+            ar = _dot(vr, HrT) - _dot(vi, HiT)
+            ai = _dot(vr, HiT) + _dot(vi, HrT)
+            return ai, -ar
 
     return _stage_fwd(matvec, xr, xi, store_k,
                       dt=dt, iters=iters, jac=jac, split=split)
@@ -417,14 +441,29 @@ def _bwd_step(Hr, Hi, HT, xpr, xpi, gr, gi, ks_vals, emit_Hb,
     Hrp = _prep_rhs(Hr)
     Hip = _prep_rhs(Hi)
 
-    def T(vr, vi):
-        ar = _dot(vr, HrT) - _dot(vi, HiT)
-        ai = _dot(vr, HiT) + _dot(vi, HrT)
-        return ai, -ar
+    if _stacked_matvec():
+        def T(vr, vi):        # row-stacked form: 2 dots instead of 4
+            Bp = vr.shape[0]
+            z = jnp.concatenate([vr, vi], axis=0)
+            zr = _dot(z, HrT)
+            zi = _dot(z, HiT)
+            return zi[:Bp] + zr[Bp:], -(zr[:Bp] - zi[Bp:])
 
-    def Tt(ur, ui):  # real transpose of T (no Hermiticity assumption)
-        return (_dot(ur, Hip) - _dot(ui, Hrp),
-                _dot(ur, Hrp) + _dot(ui, Hip))
+        def Tt(ur, ui):       # real transpose of T (no Hermiticity)
+            Bp = ur.shape[0]
+            z = jnp.concatenate([ur, ui], axis=0)
+            zr = _dot(z, Hrp)
+            zi = _dot(z, Hip)
+            return zi[:Bp] - zr[Bp:], zr[:Bp] + zi[Bp:]
+    else:
+        def T(vr, vi):
+            ar = _dot(vr, HrT) - _dot(vi, HiT)
+            ai = _dot(vr, HiT) + _dot(vi, HrT)
+            return ai, -ar
+
+        def Tt(ur, ui):  # real transpose of T (no Hermiticity assumption)
+            return (_dot(ur, Hip) - _dot(ui, Hrp),
+                    _dot(ur, Hrp) + _dot(ui, Hip))
 
     # H-plane cotangent pairs (c at T's output, u at T's input). The
     # per-pair outer products sum as ONE block matmul over the row-stacked

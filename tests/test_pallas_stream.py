@@ -715,3 +715,49 @@ def test_packed_tc_blocking_edges(ntime):
     g0 = np.stack(gs, axis=1)
     np.testing.assert_allclose(np.asarray(g1), g0, rtol=0,
                                atol=2e-5 * np.abs(g0).max())
+
+
+@pytest.mark.parametrize("solver", ["neumann", "split"])
+def test_stacked_matvec_matches_default_exactly(solver, monkeypatch):
+    """QTPU_PALLAS_STACKED_MATVEC=1 applies each H-plane dot to the
+    row-stacked [vr; vi] operand (2 MXU issues per matvec instead of 4).
+    Row results are independent and the bf16 split is elementwise, so the
+    packed kernel's outputs and Cg/x0 gradients must match the default
+    form to float-roundoff exactly (prepared for on-chip A/B during the
+    round-5 relay outage; see pallas_stream._stacked_matvec)."""
+    from quandary_tpu.ops.pallas_adjoint import plane_args
+    from quandary_tpu.ops.pallas_stream import make_streamk_packed_propagate
+
+    rng = np.random.default_rng(23)
+    K, N, B, dt, ntime, iters, G = 3, 8, 2, 0.02, 6, 3, 4
+    stack = _random_hermitian_stack(rng, K, N)
+    gen_diag = (-1j * np.diag(stack[0])).astype(np.complex128)
+    x0 = (rng.normal(size=(B, N))
+          + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    Cg = jnp.asarray(rng.normal(size=(ntime, G, K)) * 0.3, jnp.float32)
+    Sr, Si = map(jnp.asarray, plane_args(stack))
+
+    def run(stacked):
+        monkeypatch.setenv("QTPU_PALLAS_STACKED_MATVEC",
+                           "1" if stacked else "0")
+        pk = make_streamk_packed_propagate(
+            stack, dt, iters, gen_diag=gen_diag, linsolver=solver,
+            group=G, interpret=True)
+
+        def loss(Cg_, x0_):
+            xT, hist = pk(Sr, Si, x0_, Cg_)
+            return (jnp.sum(jnp.abs(xT) ** 2)
+                    + 0.1 * jnp.sum(jnp.abs(hist) ** 2)), (xT, hist)
+
+        (v, (xT, hist)), (gC, gx) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(Cg, jnp.asarray(x0))
+        return v, xT, hist, gC, gx
+
+    v0, xT0, h0, gC0, gx0 = run(False)
+    v1, xT1, h1, gC1, gx1 = run(True)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-6, abs=1e-9)
+    for a, b, tol in ((xT0, xT1, 1e-6), (h0, h1, 1e-6),
+                      (gC0, gC1, 2e-6), (gx0, gx1, 2e-6)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0,
+            atol=tol * max(float(np.abs(np.asarray(a)).max()), 1e-30))
