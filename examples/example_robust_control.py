@@ -35,7 +35,11 @@ nominal = problems[len(deltas) // 2]
 
 rng = np.random.default_rng(1)
 x0 = rng.uniform(-1, 1, nominal.setup.nparams) * 0.01
-lb, ub = build_bounds(nominal.setup.oscillators, [[1.0]])
+# 50 MHz amplitude bound: physical transmon-scale drive, and it keeps
+# ||dt/2 H_ctrl|| << 1 so the 10-iteration Neumann stage solve stays at
+# roundoff (an unphysical ~GHz bound lets the optimizer park on amplitudes
+# where the truncated stage solve is ~1% off and "fidelities" drift above 1)
+lb, ub = build_bounds(nominal.setup.oscillators, [[0.05]])
 
 
 def make_fg(obj):
