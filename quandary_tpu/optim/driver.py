@@ -173,6 +173,26 @@ def run_optimization(
         if history and history[-1].iter not in written_iters:
             write_intermediate(history[-1], res.x)
         hist_writer.close()
+    # Stage-solve health at the FINAL point — the reference warns when its
+    # GMRES residual exceeds 1e-3 (timestepper.cpp:612-614); our solves are
+    # fixed-iteration, so check the analytic truncation bound instead. The
+    # setup-time stiffness guard covers the static drift; this covers the
+    # control-amplitude part that only exists once parameters are known.
+    try:
+        from ..utils.sanity import stage_truncation_estimate
+        est = stage_truncation_estimate(problem, res.x)
+        if est.get("supported") and not est["ok"]:
+            import warnings
+            warnings.warn(
+                f"Stage solve under-resolved at the optimum: estimated "
+                f"relative truncation {est['horizon_error']:.1e} over the "
+                f"horizon (u={est['u']:.2f}, {problem.setup.linsolve_iters} "
+                f"iterations, solver {est['solver']!r}). Results may be "
+                "inaccurate at these control amplitudes — raise "
+                "linsolve_iters, use linsolver='split', or tighten the "
+                "control bounds.")
+    except Exception:   # diagnostics must never fail the optimization
+        pass
     infid = 1.0 - history[-1].fidelity if history else 1.0
     return OptimResult(
         params=res.x, objective=res.f, infidelity=infid,

@@ -62,3 +62,45 @@ def test_sanity_checks():
     from quandary_tpu.models import gates
     assert is_unitary(gates.qft(5))
     assert not is_unitary(np.ones((3, 3)))
+
+
+def test_stage_truncation_estimate_flags_large_amplitudes():
+    """The runtime stage-solve health check (the reference's GMRES-residual
+    warning analog, timestepper.cpp:612-614): accurate at physical control
+    amplitudes, flagged when the amplitudes push (dt/2)*||H(t)|| toward the
+    Neumann radius. Validated against the TRUE truncation error: the norm
+    drift of the propagated trajectory (IMR is exactly norm-preserving, so
+    any drift IS stage-solve error)."""
+    from quandary_tpu.utils.sanity import (check_state_trajectory,
+                                           stage_truncation_estimate)
+
+    prob, setup = _small_problem()
+    rng = np.random.default_rng(3)
+    small = jnp.asarray(rng.normal(size=setup.nparams) * 0.02)
+    est = stage_truncation_estimate(prob, small)
+    assert est["supported"] and est["ok"], est
+    assert check_state_trajectory(
+        np.asarray(prob.propagate_trajectory(small)))["ok"]
+
+    big = small * 400.0        # ~GHz-class amplitudes: u -> O(1)
+    est_big = stage_truncation_estimate(prob, big)
+    assert est_big["supported"] and not est_big["ok"], est_big
+    drift = check_state_trajectory(
+        np.asarray(prob.propagate_trajectory(big)))["norm_drift"]
+    assert drift > 1e-4, (drift, est_big)   # the bound flags a REAL error
+
+
+def test_run_optimization_warns_on_underresolved_stage_solve():
+    import warnings
+
+    from quandary_tpu.optim.driver import run_optimization
+
+    prob, setup = _small_problem()
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(size=setup.nparams) * 8.0    # unphysical amplitudes
+    lb, ub = x0 - 1e-12, x0 + 1e-12              # pin the "optimum" there
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_optimization(prob, x0, lb, ub, maxiter=1, verbose=False)
+    assert any("under-resolved" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
