@@ -237,7 +237,10 @@ def main():
             # say so explicitly so a relay outage is not read as a chip
             # regression (see BENCH_r04.json for the TPU record)
             best["note"] = ("TPU relay unreachable for this run; value is "
-                            "the CPU fallback, not the chip record")
+                            "the CPU fallback, not the chip record (official "
+                            "chip record: BENCH_r04.json 3563 sweeps/s; "
+                            "round-5 measured chip record 3726 sweeps/s, "
+                            "PERF.md / ROUND_NOTES.md)")
         print(json.dumps(best))
         return
     recs = records()
