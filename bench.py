@@ -192,6 +192,14 @@ def main():
             if i == 0:
                 # one confirmation run now that the cache is warm
                 wait(spawn(pallas, "tpu"), 600)
+            elif pallas != "split":
+                # The headline ("split") attempt can be swallowed by an
+                # outage that ends mid-sequence — the first SUCCESS is then
+                # a slower fallback config (measured: auto records 1760 vs
+                # split 3726 sweeps/s). The relay is proven up now, so give
+                # the headline config one more attempt; best_final keeps
+                # whichever record is faster.
+                wait(spawn("split", 900), 900)
             break
         # A WEDGED relay hangs every device op: the child then emits zero
         # TPU stage records for its whole timeout. Two consecutive
